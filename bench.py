@@ -1,0 +1,166 @@
+"""Benchmark harness: audio samples/s/chip through STFT band power + adaptive
+detection (BASELINE.md primary metric).
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the CPU
+baseline is self-measured here by running a faithful numpy replica of the
+reference hot loop (dsp/src/main.py:376-388 rfft band power + :450-522
+adaptive threshold) on a slice of the same workload, then extrapolated to
+per-sample rate.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# workload: BRAMS-like 6 kHz audio, reference analyzer parameters
+# ---------------------------------------------------------------------------
+FS = 6000
+BLOCK_SEC = 0.2
+BLOCK = int(FS * BLOCK_SEC)
+N_FFT = 1024  # effective (reference user 512 doubled, main.py:353)
+FREQ_BAND = (993.0, 1013.0)
+NOISE_BAND = (690.0, 710.0)
+K_STD = 4.0
+WINDOW_BLOCKS = 600
+FREEZE_BEFORE = 15
+FREEZE_AFTER = 100
+FIXED_INIT = 50
+
+TPU_SECONDS = 3600.0  # 1 h of audio per timed iteration
+BASELINE_SECONDS = 60.0  # numpy baseline slice (extrapolated)
+
+
+def synth_audio(seconds: float, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(FS * seconds)
+    x = rng.standard_normal(n).astype(np.float32) * 0.5
+    t = np.arange(n) / FS
+    for s in np.arange(10.0, seconds - 5.0, 47.0):
+        m = (t >= s) & (t < s + 1.0)
+        x[m] += 2.0 * np.sin(2 * np.pi * 1003.0 * t[m]).astype(np.float32)
+    return x
+
+
+def baseline_numpy(x: np.ndarray) -> float:
+    """Reference hot loop replica; returns samples/s."""
+    freqs = np.fft.rfftfreq(N_FFT, d=1.0 / FS)
+    m1 = (freqs >= FREQ_BAND[0]) & (freqs <= FREQ_BAND[1])
+    m2 = (freqs >= NOISE_BAND[0]) & (freqs <= NOISE_BAND[1])
+    w = np.hanning(BLOCK)
+    nb = len(x) // BLOCK
+
+    t0 = time.perf_counter()
+    band = np.empty(nb)
+    noise = np.empty(nb)
+    for i in range(nb):
+        blk = x[i * BLOCK : (i + 1) * BLOCK]
+        X = np.fft.rfft(blk * w, n=N_FFT)
+        P = np.abs(X) ** 2
+        band[i] = 10 * np.log10(P[m1].sum() + 1e-12)
+        noise[i] = 10 * np.log10(P[m2].sum() + 1e-12)
+    delta = band - noise
+
+    # adaptive threshold walk (main.py:450-522)
+    g_thr = delta.mean() + K_STD * delta.std()
+    thr = g_thr
+    freeze_until = -1
+    for i in range(nb):
+        if i < FIXED_INIT:
+            thr = g_thr
+        elif i > freeze_until:
+            win = delta[max(0, i - WINDOW_BLOCKS) : i]
+            thr = win.mean() + K_STD * win.std()
+        if delta[i] > thr:
+            freeze_until = max(i + FREEZE_AFTER, max(0, i - FREEZE_BEFORE))
+    dt = time.perf_counter() - t0
+    return len(x) / dt
+
+
+def tpu_pipeline(x_np: np.ndarray):
+    import jax
+    import jax.numpy as jnp
+
+    from meteor_scatter_tpu.models.adaptive import adaptive_thresholds_parallel
+    from meteor_scatter_tpu.models.events import events_from_mask
+    from meteor_scatter_tpu.ops.bandpower import band_projection_matrix, band_power_db
+    from meteor_scatter_tpu.ops.framing import frame_signal
+
+    M, slices = band_projection_matrix(FS, N_FFT, BLOCK, [FREQ_BAND, NOISE_BAND])
+    Mj = jnp.asarray(M)
+
+    # NOTE: the projection matrix is a jit *argument*, not a closure — the
+    # remote TPU compiler handles large baked-in literals pathologically
+    # slowly (minutes vs seconds).
+    @jax.jit
+    def run(x, Mj):
+        frames = frame_signal(x, BLOCK, BLOCK)
+        band, noise = band_power_db(frames, Mj, slices)
+        delta = band - noise
+        thr, above = adaptive_thresholds_parallel(
+            delta, K_STD, WINDOW_BLOCKS, FREEZE_BEFORE, FREEZE_AFTER, FIXED_INIT
+        )
+        ev = events_from_mask(above, delta, cap=4096)
+        return ev.count, thr[-1]
+
+    x = jnp.asarray(x_np)
+    # warm-up / compile (block_until_ready is unreliable on the tunneled
+    # backend, so force a host readback)
+    int(np.asarray(run(x, Mj)[0]))
+
+    # Chained timing: launch K dependent executions, read back once, and
+    # subtract the single-execution round trip — isolates device time from
+    # tunnel latency.
+    def chained(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = run(x, Mj)
+        np.asarray(out[0])
+        return time.perf_counter() - t0
+
+    reps = 3
+    t1 = min(chained(1) for _ in range(reps))
+    tk = min(chained(11) for _ in range(reps))
+    dt = max((tk - t1) / 10.0, 1e-9)
+    return len(x_np) / dt, dt
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    tpu_secs = 300.0 if quick else TPU_SECONDS
+    base_secs = 20.0 if quick else BASELINE_SECONDS
+
+    x_base = synth_audio(base_secs, seed=1)
+    base_sps = baseline_numpy(x_base)
+    print(f"# baseline (numpy replica of reference hot loop): {base_sps:,.0f} samples/s",
+          file=sys.stderr)
+
+    x = synth_audio(tpu_secs, seed=2)
+    sps, dt = tpu_pipeline(x)
+    print(f"# tpu: {len(x):,} samples in {dt * 1e3:.2f} ms -> {sps:,.0f} samples/s",
+          file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_samples_per_sec_per_chip_stft_detect",
+                "value": round(sps),
+                "unit": "samples/s",
+                "vs_baseline": round(sps / base_sps, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

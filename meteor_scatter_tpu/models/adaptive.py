@@ -103,6 +103,150 @@ def adaptive_thresholds(
     return thresholds, above, carry
 
 
+def adaptive_thresholds_fast(
+    delta: jnp.ndarray,
+    threshold_std_factor: float,
+    window_blocks: int,
+    freeze_blocks_before: int,
+    freeze_blocks_after: int,
+    fixed_threshold_blocks: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same semantics as :func:`adaptive_thresholds` (full-series case),
+    restructured for the TPU: the rolling window mean/std of *every* block
+    is precomputed in parallel with prefix sums, so the unavoidable
+    sequential part — the freeze recurrence — carries only two scalars and
+    costs ~10 flops per step instead of an O(window) reduction.
+
+    Returns (thresholds, above).
+    """
+    dtype = delta.dtype
+    n = delta.shape[0]
+    w = window_blocks
+
+    g_mean = jnp.mean(delta)
+    g_std = jnp.std(delta)
+    fixed_thr = (g_mean + threshold_std_factor * g_std).astype(dtype)
+
+    # trailing-window stats over delta[max(0, i-w) : i)  (current excluded)
+    zero = jnp.zeros(1, dtype)
+    cs = jnp.concatenate([zero, jnp.cumsum(delta)])
+    cs2 = jnp.concatenate([zero, jnp.cumsum(delta * delta)])
+    i = jnp.arange(n)
+    lo = jnp.maximum(i - w, 0)
+    cnt = (i - lo).astype(dtype)
+    safe = jnp.maximum(cnt, 1)
+    m = (cs[i] - cs[lo]) / safe
+    m2 = (cs2[i] - cs2[lo]) / safe
+    std = jnp.sqrt(jnp.maximum(m2 - m * m, 0))
+    windowed = jnp.where(cnt > 0, m + threshold_std_factor * std, jnp.nan)
+
+    def step(carry, inp):
+        freeze_until, prev_thr = carry
+        d, wt, idx = inp
+        in_fixed = idx < fixed_threshold_blocks
+        can_update = jnp.logical_and(~in_fixed, idx > freeze_until)
+        thr = jnp.where(in_fixed, fixed_thr, jnp.where(can_update, wt, prev_thr)).astype(dtype)
+        above = d > thr
+        new_freeze = jnp.maximum(
+            idx + freeze_blocks_after, jnp.maximum(0, idx - freeze_blocks_before)
+        )
+        freeze_until = jnp.where(above, new_freeze, freeze_until)
+        return (freeze_until, thr), (thr, above)
+
+    (_, _), (thresholds, above) = jax.lax.scan(
+        step,
+        (jnp.asarray(-1, jnp.int32), fixed_thr),
+        (delta, windowed, i.astype(jnp.int32)),
+    )
+    return thresholds, above
+
+
+def adaptive_thresholds_parallel(
+    delta: jnp.ndarray,
+    threshold_std_factor: float,
+    window_blocks: int,
+    freeze_blocks_before: int,
+    freeze_blocks_after: int,
+    fixed_threshold_blocks: int,
+    max_rounds: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequential-scan-free adaptive detector via fixpoint iteration.
+
+    The freeze recurrence is the only sequential part of the reference
+    algorithm, and on TPU a 432 000-step scan is latency-bound.  This solver
+    removes it: given a *candidate* set of above-threshold blocks, the
+    entire threshold series is expressible in closed vector form —
+
+      freeze_until_i = cummax_{j<=i}( above_j ? max(j+fa, max(0, j-fb)) : -1 )
+      updatable_i    = (i > freeze_until_{i-1}) & (i >= fixed_blocks)
+      thr_i          = windowed[ last updatable index <= i ]   (gather)
+
+    — so we iterate: thresholds from candidate detections → detections from
+    thresholds, until the detection set is stationary.
+
+    Correctness: by induction, after round k the solution is exact up to the
+    k-th freeze episode (freezes are causal and the pre-first-crossing
+    thresholds never depend on any freeze).  A stationary point therefore
+    equals the sequential solution — it is not merely *a* consistent
+    labeling.  Convergence takes #episodes rounds at worst and 2-4 rounds in
+    practice; each round is ~6 elementwise/cummax passes over the block
+    series.
+
+    Returns (thresholds, above) identical to :func:`adaptive_thresholds`
+    (full-series case).
+    """
+    dtype = delta.dtype
+    n = delta.shape[0]
+    w = window_blocks
+    if max_rounds is None:
+        max_rounds = n
+
+    g_mean = jnp.mean(delta)
+    g_std = jnp.std(delta)
+    fixed_thr = (g_mean + threshold_std_factor * g_std).astype(dtype)
+
+    # rolling-window stats (current block excluded) via prefix sums
+    zero = jnp.zeros(1, dtype)
+    cs = jnp.concatenate([zero, jnp.cumsum(delta)])
+    cs2 = jnp.concatenate([zero, jnp.cumsum(delta * delta)])
+    i = jnp.arange(n)
+    lo = jnp.maximum(i - w, 0)
+    cnt = (i - lo).astype(dtype)
+    safe = jnp.maximum(cnt, 1)
+    m = (cs[i] - cs[lo]) / safe
+    m2 = (cs2[i] - cs2[lo]) / safe
+    std = jnp.sqrt(jnp.maximum(m2 - m * m, 0))
+    windowed = jnp.where(cnt > 0, m + threshold_std_factor * std, jnp.nan)
+
+    new_freeze = jnp.maximum(i + freeze_blocks_after, jnp.maximum(0, i - freeze_blocks_before))
+    in_fixed = i < fixed_threshold_blocks
+
+    def thresholds_from(above):
+        f = jnp.where(above, new_freeze, -1)
+        freeze_until = jax.lax.cummax(f)  # state after block i
+        freeze_prev = jnp.concatenate([jnp.full(1, -1, f.dtype), freeze_until[:-1]])
+        updatable = (i > freeze_prev) & ~in_fixed
+        last_upd = jax.lax.cummax(jnp.where(updatable, i, -1))
+        frozen_thr = jnp.where(last_upd >= 0, windowed[jnp.maximum(last_upd, 0)], fixed_thr)
+        return jnp.where(in_fixed, fixed_thr, frozen_thr).astype(dtype)
+
+    def cond(state):
+        above, prev, rounds = state
+        return jnp.any(above != prev) & (rounds < max_rounds)
+
+    def body(state):
+        above, _, rounds = state
+        thr = thresholds_from(above)
+        return (delta > thr, above, rounds + 1)
+
+    above0 = delta > thresholds_from(jnp.zeros(n, bool))
+    above, _, _ = jax.lax.while_loop(
+        cond, body, (above0, jnp.zeros(n, bool), jnp.asarray(1, jnp.int32))
+    )
+    thr = thresholds_from(above)
+    return thr, delta > thr
+
+
 def detect_adaptive(
     delta: jnp.ndarray,
     threshold_std_factor: float,
@@ -119,7 +263,7 @@ def detect_adaptive(
     t_stop = (last+1)·bd, dB mean over [start, last+1).
     """
     bd = block_duration_sec
-    ev_thr = adaptive_thresholds(
+    thresholds, above = adaptive_thresholds_parallel(
         delta,
         threshold_std_factor,
         window_blocks=int(threshold_estimation_window_sec / bd),
@@ -127,6 +271,5 @@ def detect_adaptive(
         freeze_blocks_after=int(threshold_freeze_after_detection_sec / bd),
         fixed_threshold_blocks=int(threshold_fixed_init_duration_sec / bd),
     )
-    thresholds, above, _ = ev_thr
     events = events_from_mask(above, delta, cap)
     return events, thresholds

@@ -1,0 +1,334 @@
+"""Sharded pipelines over the (station, time) mesh via ``shard_map``.
+
+Division of labor (SURVEY.md §2.6, BASELINE configs 3-5):
+
+* the *sample-rate* work (framing, band projection, PSD, FIR) runs fully
+  sharded — this is where the FLOPs and HBM traffic are;
+* the *block-rate* series (one delta-dB value per 0.2 s) is ~4 orders of
+  magnitude smaller, so detection scans run per time-shard with warm-up
+  halos and the final event extraction happens on the gathered block
+  series, which makes the sharded event list exactly equal the unsharded
+  one for the fixed detector and equal up to halo warm-up for the adaptive
+  one (exact on shard 0; elsewhere exact whenever the warm-up halo covers
+  the estimation window + freeze reach).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from meteor_scatter_tpu.models.adaptive import adaptive_thresholds
+from meteor_scatter_tpu.ops.bandpower import band_projection_matrix, band_power_db
+from meteor_scatter_tpu.ops.framing import frame_signal
+from meteor_scatter_tpu.ops.welch import welch_psd
+from meteor_scatter_tpu.ops.window import hann_periodic
+from meteor_scatter_tpu.parallel.halo import halo_exchange
+from meteor_scatter_tpu.parallel.mesh import STATION_AXIS, TIME_AXIS
+
+
+def _spec(mesh: Mesh, *axes) -> NamedSharding:
+    return NamedSharding(mesh, P(*axes))
+
+
+def _ensure_varying(x: jnp.ndarray, axes) -> jnp.ndarray:
+    """pcast ``x`` to be varying over exactly the union of its current
+    varying axes and ``axes`` (pcast rejects no-op casts)."""
+    cur = getattr(jax.typeof(x), "vma", frozenset())
+    missing = tuple(a for a in axes if a not in cur)
+    return lax.pcast(x, missing, to="varying") if missing else x
+
+
+def _place(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Pin (C, B)-shaped inputs to the canonical (station, time) layout.
+    Needed because degenerate mesh axes (size 1) leave arrays with a
+    replicated GSPMD sharding that eager shard_map refuses to reinterpret;
+    device_put alone keeps the original sharding object when it considers
+    the layouts equivalent, so route through a jitted identity."""
+    spec = _spec(mesh, STATION_AXIS, TIME_AXIS)
+    if getattr(x, "sharding", None) == spec:
+        return x
+    return jax.jit(lambda a: a, out_shardings=spec)(x)
+
+
+def sharded_delta_power(
+    x: jnp.ndarray,  # (C, S)
+    mesh: Mesh,
+    fs: float,
+    n_fft: int,
+    block_size: int,
+    freq_band: Tuple[float, float],
+    noise_band: Tuple[float, float],
+    power_floor: float = 1e-12,
+):
+    """Blockwise delta power, channels over ``station``, samples over
+    ``time``.  Blocks never straddle sample shards (S/n_time must divide by
+    block_size), so no halo is needed — pure local matmuls.
+
+    Returns (band_db, noise_db, delta) each (C, num_blocks) sharded
+    (station, time).
+    """
+    M, slices = band_projection_matrix(fs, n_fft, block_size, [freq_band, noise_band])
+    Mj = jnp.asarray(M)
+
+    def local(xl):  # (C_loc, S_loc)
+        frames = frame_signal(xl.astype(jnp.float32), block_size, block_size)
+        band, noise = band_power_db(frames, Mj, slices, power_floor)
+        return band, noise, band - noise
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(STATION_AXIS, TIME_AXIS),
+        out_specs=P(STATION_AXIS, TIME_AXIS),
+    )
+    return fn(_place(x, mesh))
+
+
+def sharded_detect_fixed(
+    delta: jnp.ndarray,  # (C, B) sharded (station, time)
+    mesh: Mesh,
+    threshold_std_factor: float,
+):
+    """Per-channel global threshold via psum over the time axis; returns
+    (above mask sharded like delta, per-channel thresholds)."""
+
+    def local(dl):  # (C_loc, B_loc)
+        n_loc = dl.shape[-1]
+        s = lax.psum(jnp.sum(dl, -1), TIME_AXIS)
+        s2 = lax.psum(jnp.sum(dl * dl, -1), TIME_AXIS)
+        n = lax.psum(jnp.asarray(n_loc, dl.dtype), TIME_AXIS)
+        mean = s / n
+        std = jnp.sqrt(jnp.maximum(s2 / n - mean * mean, 0))
+        thr = mean + threshold_std_factor * std
+        return dl > thr[:, None], thr
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(STATION_AXIS, TIME_AXIS),
+        out_specs=(P(STATION_AXIS, TIME_AXIS), P(STATION_AXIS)),
+    )
+    return fn(_place(delta, mesh))
+
+
+def sharded_detect_adaptive(
+    delta: jnp.ndarray,  # (C, B) sharded (station, time)
+    mesh: Mesh,
+    threshold_std_factor: float,
+    window_blocks: int,
+    freeze_blocks_before: int,
+    freeze_blocks_after: int,
+    fixed_threshold_blocks: int,
+    warmup_blocks: int | None = None,
+):
+    """Adaptive detection across time shards with warm-up halo recompute.
+
+    Each shard receives the trailing ``warmup_blocks`` delta values of its
+    left neighbor (ppermute), replays the threshold recurrence over them to
+    converge the rolling statistics, then emits thresholds/above for its
+    own range.  Shard 0's replay runs over masked padding with *absolute*
+    block indices, so its output is bit-exact to the unsharded scan.
+    """
+    if warmup_blocks is None:
+        warmup_blocks = window_blocks + freeze_blocks_after
+    # the halo (warm-up replay + ring seed) cannot exceed one shard's block
+    # count (ppermute moves data between direct neighbors only)
+    n_time = mesh.shape[TIME_AXIS]
+    b_loc_glob = delta.shape[-1] // n_time
+    if n_time == 1:
+        # no seams — the plain scan from block 0 is already exact
+        warmup_blocks = 0
+        halo_blocks = 0
+    else:
+        warmup_blocks = min(warmup_blocks, max(b_loc_glob - window_blocks, 0))
+        halo_blocks = warmup_blocks + window_blocks
+        if halo_blocks > b_loc_glob:
+            raise ValueError(
+                f"time shards too small: need >= {window_blocks} blocks/shard "
+                f"for the rolling window, have {b_loc_glob}"
+            )
+
+    def local(dl):  # (C_loc, B_loc)
+        c_loc, b_loc = dl.shape
+        dtype = dl.dtype
+        # global per-channel stats for the fixed initial threshold
+        s = lax.psum(jnp.sum(dl, -1), TIME_AXIS)
+        s2 = lax.psum(jnp.sum(dl * dl, -1), TIME_AXIS)
+        n = lax.psum(jnp.asarray(float(b_loc), dtype), TIME_AXIS)
+        g_mean = s / n
+        g_std = jnp.sqrt(jnp.maximum(s2 / n - g_mean * g_mean, 0))
+
+        haloed = halo_exchange(dl, halo_blocks, 0, TIME_AXIS)  # (C_loc, halo+B_loc)
+        offset = lax.axis_index(TIME_AXIS) * b_loc
+        i0 = (offset - warmup_blocks).astype(jnp.int32)
+
+        # Seed the rolling-stats ring with the true `window` delta values
+        # preceding the replay start, at their absolute slot positions.
+        # (Shard 0's seed is zeros, but the scan's count-based validity
+        # mask hides pre-stream slots there, keeping it bit-exact.)
+        w = window_blocks
+        if halo_blocks > 0:
+            seed_vals = haloed[:, :w]  # absolute indices i0-w .. i0-1
+            slots = jnp.mod(i0 + jnp.arange(w, dtype=jnp.int32), w)
+            ring0 = jnp.zeros((c_loc, w), dtype).at[:, slots].set(seed_vals)
+        else:
+            ring0 = _ensure_varying(
+                jnp.zeros((c_loc, w), dtype), (STATION_AXIS, TIME_AXIS)
+            )
+
+        fixed_thr = (g_mean + threshold_std_factor * g_std).astype(dtype)
+        # scan carries must have consistent varying-manual-axes types under
+        # shard_map: mark the shard-constant initializers as varying
+        both = (STATION_AXIS, TIME_AXIS)
+        init_carry = (
+            ring0,
+            jnp.broadcast_to(i0, (c_loc,)),
+            _ensure_varying(jnp.full((c_loc,), -1, jnp.int32), both),
+            _ensure_varying(fixed_thr, both),
+        )
+
+        def one_channel(d_ch, ring, i0_ch, fz, thr0, gm, gs):
+            thr, above, _ = adaptive_thresholds(
+                d_ch,
+                threshold_std_factor,
+                window_blocks,
+                freeze_blocks_before,
+                freeze_blocks_after,
+                fixed_threshold_blocks,
+                init_carry=(ring, i0_ch, fz, thr0),
+                global_stats=(gm, gs),
+            )
+            return thr, above
+
+        # with no halo the scan runs over the local blocks directly
+        replay = haloed[:, w:] if halo_blocks > 0 else haloed  # (C_loc, warmup + B_loc)
+        thr, above = jax.vmap(one_channel)(
+            replay, init_carry[0], init_carry[1], init_carry[2], init_carry[3], g_mean, g_std
+        )
+        thr = _ensure_varying(thr, both)
+        above = _ensure_varying(above, both)
+        return thr[:, warmup_blocks:], above[:, warmup_blocks:]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(STATION_AXIS, TIME_AXIS),
+        out_specs=(P(STATION_AXIS, TIME_AXIS), P(STATION_AXIS, TIME_AXIS)),
+    )
+    return fn(_place(delta, mesh))
+
+
+def sharded_spectrogram_psd(
+    x: jnp.ndarray,  # (C, S)
+    mesh: Mesh,
+    fs: float,
+    nperseg: int,
+    noverlap: int | None = None,
+):
+    """Overlapped STFT PSD with seam frames computed from a right halo —
+    the distributed overlap-save of the reference's noverlap=NFFT//2
+    spectrograms.  Requires S/n_time divisible by hop.
+
+    Returns (C, n_frames_padded, nbins) sharded (station, time, None);
+    frames beyond the global valid count ``(S - nperseg)//hop + 1`` are
+    from zero-padding at the very end of the signal.
+    """
+    if noverlap is None:
+        noverlap = nperseg // 2
+    hop = nperseg - noverlap
+    n_time = mesh.shape[TIME_AXIS]
+    if (x.shape[-1] // n_time) % hop != 0:
+        raise ValueError(
+            f"samples per time shard ({x.shape[-1] // n_time}) must be divisible "
+            f"by hop ({hop}) so frames align with shard boundaries"
+        )
+    win = jnp.asarray(hann_periodic(nperseg, dtype=np.float32))
+    norm = float(np.sum(hann_periodic(nperseg) ** 2))
+
+    def local(xl):  # (C_loc, S_loc)
+        haloed = halo_exchange(xl.astype(jnp.float32), 0, nperseg - hop, TIME_AXIS)
+        nf_loc = xl.shape[-1] // hop
+        seg = frame_signal(haloed, nperseg, hop)[:, :nf_loc, :]
+        seg = seg - jnp.mean(seg, -1, keepdims=True)
+        X = jnp.fft.rfft(seg * win, n=nperseg, axis=-1)
+        p = (X.real**2 + X.imag**2) / (fs * norm)
+        nbins = nperseg // 2 + 1
+        scale = np.ones(nbins, np.float32) * 2.0
+        scale[0] = 1.0
+        if nperseg % 2 == 0:
+            scale[-1] = 1.0
+        return p * jnp.asarray(scale)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(STATION_AXIS, TIME_AXIS),
+        out_specs=P(STATION_AXIS, TIME_AXIS, None),
+    )
+    return fn(_place(x, mesh))
+
+
+def sharded_fir_filter(
+    x: jnp.ndarray,  # (C, S)
+    mesh: Mesh,
+    taps: np.ndarray,
+):
+    """'same'-mode FIR across time shards: each shard convolves its range
+    plus (t-1)/2-sample halos from both neighbors, exactly matching the
+    unsharded result (zero halos at the stream edges = 'same' padding)."""
+    t = len(taps)
+    lh = (t - 1) // 2
+    rh = t - 1 - lh
+    k = jnp.asarray(np.asarray(taps, np.float32)[::-1].copy()).reshape(1, 1, -1)
+
+    def local(xl):
+        haloed = halo_exchange(xl.astype(jnp.float32), lh, rh, TIME_AXIS)
+        y = lax.conv_general_dilated(
+            haloed[:, None, :],
+            k,
+            window_strides=(1,),
+            padding=[(0, 0)],
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            precision=lax.Precision.HIGHEST,
+        )
+        return y[:, 0, :]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(STATION_AXIS, TIME_AXIS),
+        out_specs=P(STATION_AXIS, TIME_AXIS),
+    )
+    return fn(_place(x, mesh))
+
+
+def sharded_welch_blocks(
+    x: jnp.ndarray,  # (C, S)
+    mesh: Mesh,
+    fs: float,
+    block_size: int,
+    nfft: int,
+    nperseg: int = 256,
+):
+    """Per-block Welch PSDs (the streaming front half, processor.py:206)
+    sharded over channels and time; blocks are hop-aligned so no halo."""
+
+    def local(xl):
+        blocks = frame_signal(xl.astype(jnp.float32), block_size, block_size)
+        return welch_psd(blocks, fs, nfft, nperseg=nperseg)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(STATION_AXIS, TIME_AXIS),
+        out_specs=P(STATION_AXIS, TIME_AXIS, None),
+    )
+    return fn(_place(x, mesh))

@@ -1,0 +1,130 @@
+"""Sharded == unsharded equality on an 8-virtual-device CPU mesh
+(SURVEY.md §4 plan item 3)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meteor_scatter_tpu.ops.bandpower import delta_power_db
+from meteor_scatter_tpu.ops.fir import fir_filter, firwin_bandpass
+from meteor_scatter_tpu.ops.spectrogram import spectrogram_scipy
+from meteor_scatter_tpu.models.adaptive import adaptive_thresholds
+from meteor_scatter_tpu.parallel.mesh import make_mesh
+from meteor_scatter_tpu.parallel.sharded import (
+    sharded_delta_power,
+    sharded_detect_adaptive,
+    sharded_detect_fixed,
+    sharded_fir_filter,
+    sharded_spectrogram_psd,
+)
+
+FS = 6000
+BLOCK = 1200
+NFFT = 1024
+FB = (993.0, 1013.0)
+NB = (690.0, 710.0)
+
+
+def audio(channels, seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(FS * seconds)) / FS
+    x = rng.standard_normal((channels, len(t))) * 0.5
+    for c in range(channels):
+        s = 3.0 + 5 * c
+        m = (t >= s) & (t < s + 1.0)
+        x[c, m] += 2.0 * np.sin(2 * np.pi * 1003.0 * t[m])
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(n_station=2, n_time=4)
+
+
+class TestShardedDeltaPower:
+    def test_equals_unsharded(self, mesh):
+        x = audio(2, 16.0)
+        b, n, d = sharded_delta_power(jnp.asarray(x), mesh, FS, NFFT, BLOCK, FB, NB)
+        for c in range(2):
+            _, _, want = delta_power_db(jnp.asarray(x[c]), FS, NFFT, BLOCK, FB, NB)
+            np.testing.assert_allclose(np.asarray(d[c]), np.asarray(want), atol=1e-4)
+
+
+class TestShardedFixed:
+    def test_equals_unsharded(self, mesh):
+        x = audio(2, 16.0)
+        _, _, d = sharded_delta_power(jnp.asarray(x), mesh, FS, NFFT, BLOCK, FB, NB)
+        above, thr = sharded_detect_fixed(d, mesh, 4.0)
+        d_np = np.asarray(d)
+        for c in range(2):
+            want_thr = d_np[c].mean() + 4.0 * d_np[c].std()
+            np.testing.assert_allclose(float(thr[c]), want_thr, rtol=1e-5)
+            np.testing.assert_array_equal(np.asarray(above[c]), d_np[c] > want_thr)
+
+
+class TestShardedAdaptive:
+    def test_shard0_exact_and_rest_converged(self, mesh):
+        x = audio(2, 32.0, seed=3)
+        _, _, d = sharded_delta_power(jnp.asarray(x), mesh, FS, NFFT, BLOCK, FB, NB)
+        kw = dict(
+            threshold_std_factor=4.0,
+            window_blocks=25,
+            freeze_blocks_before=3,
+            freeze_blocks_after=10,
+            fixed_threshold_blocks=10,
+        )
+        thr_s, above_s = sharded_detect_adaptive(d, mesh, **kw)
+        d_np = np.asarray(d)
+        b_loc = d_np.shape[1] // 4
+        for c in range(2):
+            thr_u, above_u, _ = adaptive_thresholds(jnp.asarray(d_np[c]), **kw)
+            # shard 0 must be bit-exact
+            np.testing.assert_allclose(
+                np.asarray(thr_s[c, :b_loc]), np.asarray(thr_u[:b_loc]), rtol=1e-6
+            )
+            # overall: warm-up halo (window+freeze=35 < b_loc) converges the
+            # rolling stats → expect equality everywhere on this data
+            np.testing.assert_array_equal(np.asarray(above_s[c]), np.asarray(above_u))
+
+    def test_full_reference_window_single_time_shard(self):
+        # station-only mesh: 8 channels, no time sharding — always exact
+        mesh = make_mesh(n_station=8, n_time=1)
+        x = audio(8, 8.0, seed=5)
+        _, _, d = sharded_delta_power(jnp.asarray(x), mesh, FS, NFFT, BLOCK, FB, NB)
+        kw = dict(
+            threshold_std_factor=4.0,
+            window_blocks=600,
+            freeze_blocks_before=15,
+            freeze_blocks_after=100,
+            fixed_threshold_blocks=50,
+        )
+        thr_s, above_s = sharded_detect_adaptive(d, mesh, **kw)
+        for c in range(8):
+            thr_u, above_u, _ = adaptive_thresholds(jnp.asarray(np.asarray(d)[c]), **kw)
+            np.testing.assert_allclose(np.asarray(thr_s[c]), np.asarray(thr_u), rtol=1e-6)
+            np.testing.assert_array_equal(np.asarray(above_s[c]), np.asarray(above_u))
+
+
+class TestShardedSpectrogram:
+    def test_equals_unsharded_overlap(self, mesh):
+        x = audio(2, 16.0, seed=1)
+        nper = 3000  # hop 1500 divides the 24000-sample shards
+        got = sharded_spectrogram_psd(jnp.asarray(x), mesh, FS, nper)
+        for c in range(2):
+            _, _, want = spectrogram_scipy(jnp.asarray(x[c]), FS, nper)
+            want = np.asarray(want)  # (bins, frames)
+            nf = want.shape[1]
+            got_c = np.asarray(got[c])[:nf].T  # (bins, frames)
+            np.testing.assert_allclose(got_c, want, rtol=2e-3, atol=1e-9)
+
+
+class TestShardedFIR:
+    def test_equals_unsharded(self, mesh):
+        x = audio(2, 8.0, seed=2)
+        taps = firwin_bandpass(101, 950.0, 1050.0, FS)
+        got = sharded_fir_filter(jnp.asarray(x), mesh, taps)
+        want = fir_filter(jnp.asarray(x), taps, mode="same")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
