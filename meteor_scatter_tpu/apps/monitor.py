@@ -1,0 +1,207 @@
+"""Continuous segment monitor — TPU re-design of
+`meteor_detect_class/prime_detection.py` (the deployed 24/7 loop).
+
+Every 30 s audio segment flows: source → spectrogram + noise-floor cut →
+cluster detection + critical classification (device) → hourly
+``Timestamp;Anzahl;Kritisch`` ledger with daily rotation (host), plus a
+spectrogram PNG copy for any segment with detections
+(`prime_detection.py:198-203`).
+
+Audio sources: a WAV file consumed in segment-sized chunks (testing /
+reprocessing) or an external command producing raw PCM on stdout (the
+deployment path — e.g. ffmpeg/streamlink pulling the Twitch relay the
+reference grabs, without a Python Twitch dependency).  Failure handling
+mirrors the reference: segment-length check with source rebuild
+(`prime_detection.py:150-173`) and sleep-backoff on grab errors
+(`:145-147`); process-level supervision stays external (watchdog/Docker),
+see `meteor_scatter_tpu/apps/watchdog.sh`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import time
+from datetime import datetime
+from typing import Iterator, Optional
+
+import numpy as np
+
+from meteor_scatter_tpu.config import MonitorConfig
+from meteor_scatter_tpu.io.ledger import HourlyLedger
+from meteor_scatter_tpu.io.png import colorize, upscale_to, write_png
+from meteor_scatter_tpu.io.wavio import read_wav
+from meteor_scatter_tpu.models.image import detect_and_cluster_bursts
+from meteor_scatter_tpu.utils.timing import PhaseTimer
+
+
+class WavSegmentSource:
+    """Replays a WAV file as consecutive segments (real-time optional)."""
+
+    def __init__(self, path: str, cfg: MonitorConfig, realtime: bool = False):
+        fs, data = read_wav(path, mono=True)
+        if fs != cfg.sample_rate:
+            raise ValueError(f"expected {cfg.sample_rate} Hz, got {fs}")
+        self.data = data
+        self.seg = cfg.sample_rate * cfg.segment_len_sec
+        self.pos = 0
+        self.realtime = realtime
+        self.seg_sec = cfg.segment_len_sec
+
+    def grab(self) -> Optional[np.ndarray]:
+        if self.pos + self.seg > len(self.data):
+            return None
+        out = self.data[self.pos : self.pos + self.seg]
+        self.pos += self.seg
+        if self.realtime:
+            time.sleep(self.seg_sec)
+        return out
+
+
+class CommandSegmentSource:
+    """Reads int16 mono PCM from a subprocess (ffmpeg/streamlink/...).
+
+    The command must write raw s16le at the configured rate to stdout,
+    e.g.::
+
+        ffmpeg -loglevel quiet -i <stream-url> -f s16le -ac 1 -ar 5000 -
+    """
+
+    def __init__(self, command: str, cfg: MonitorConfig):
+        self.command = command
+        self.cfg = cfg
+        self.proc: Optional[subprocess.Popen] = None
+        self._start()
+
+    def _start(self) -> None:
+        self.proc = subprocess.Popen(
+            self.command, shell=True, stdout=subprocess.PIPE, bufsize=0
+        )
+
+    def grab(self) -> Optional[np.ndarray]:
+        n_bytes = self.cfg.sample_rate * self.cfg.segment_len_sec * 2
+        buf = b""
+        assert self.proc and self.proc.stdout
+        while len(buf) < n_bytes:
+            chunk = self.proc.stdout.read(n_bytes - len(buf))
+            if not chunk:
+                break
+            buf += chunk
+        if len(buf) < n_bytes:
+            return np.frombuffer(buf, np.int16)  # short segment → triggers rebuild
+        return np.frombuffer(buf, np.int16)
+
+    def terminate(self) -> None:
+        if self.proc:
+            self.proc.kill()
+
+    def rebuild(self) -> None:
+        """Stream recovery (prime_detection.py:150-173)."""
+        try:
+            self.terminate()
+        except Exception as e:  # noqa: BLE001 — keep the loop alive like the reference
+            print(f"Error terminating old stream: {e}")
+        time.sleep(5)
+        self._start()
+
+
+def run_monitor(
+    source,
+    cfg: MonitorConfig,
+    max_segments: Optional[int] = None,
+    now_fn=datetime.now,
+) -> HourlyLedger:
+    """The reference main loop (`prime_detection.py:128-247`) with the
+    detection step on device."""
+    import jax.numpy as jnp
+
+    os.makedirs(cfg.spec_out_dir, exist_ok=True)
+    ledger = HourlyLedger(cfg.csv_out_dir, save_interval_min=cfg.save_interval_min)
+    timer = PhaseTimer(log=True)
+    expected = cfg.sample_rate * cfg.segment_len_sec
+    n = 0
+
+    while max_segments is None or n < max_segments:
+        print("\n[INFO] Starting new pass...")
+        timer.start("grab_audio")
+        try:
+            segment = source.grab()
+        except Exception as e:  # noqa: BLE001 — reference behavior (:145-147)
+            print(f"Audio grab error: {e}")
+            time.sleep(5)
+            continue
+        if segment is None:
+            print("[INFO] Source exhausted.")
+            break
+        if segment.shape[0] != expected:
+            print("Error: short segment. Restarting stream...")
+            if hasattr(source, "rebuild"):
+                source.rebuild()
+                continue
+            break
+        timer.end("grab_audio")
+
+        timer.start("plot_spectrogram+detect")
+        audio = jnp.asarray(np.asarray(segment, dtype=np.float32))
+        img, bursts = detect_and_cluster_bursts(
+            audio,
+            cfg.sample_rate,
+            n_fft=cfg.n_fft,
+            spec_cut_factor=cfg.spec_cut_factor,
+            eps_px=cfg.cluster_epsilon,
+            min_samples=cfg.cluster_min_samples,
+        )
+        n_crit = int(bursts.n_critical)
+        n_non = int(bursts.n_non_critical)
+        timer.end("plot_spectrogram+detect")
+
+        print(f"Critical bursts this segment: {n_crit}")
+        print(f"Non-critical bursts this segment: {n_non}")
+
+        if n_crit + n_non > 0:
+            # copy of the detection spectrogram (prime_detection.py:198-203)
+            ts = now_fn().strftime("%Y%m%d-%H%M%S")
+            path = os.path.join(cfg.spec_out_dir, f"{ts}-{n_crit}-{n_non}.png")
+            db = np.asarray(img.db)
+            write_png(
+                path,
+                upscale_to(colorize(db[::-1, :], vmin=float(img.vmin), vmax=40.0)),
+            )
+
+        ledger.add(n_crit, n_non, now=now_fn())
+        n += 1
+
+    print(timer.summary())
+    return ledger
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--wav", help="replay a WAV file as segments")
+    src.add_argument("--command", help="shell command producing s16le PCM on stdout")
+    p.add_argument("--csv-out", default="csv-out")
+    p.add_argument("--spec-out", default="spec-out")
+    p.add_argument("--sample-rate", type=int, default=5000)
+    p.add_argument("--segment-len", type=int, default=30)
+    p.add_argument("--max-segments", type=int, default=None)
+    p.add_argument("--realtime", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = MonitorConfig(
+        sample_rate=args.sample_rate,
+        segment_len_sec=args.segment_len,
+        csv_out_dir=args.csv_out,
+        spec_out_dir=args.spec_out,
+    )
+    if args.wav:
+        source = WavSegmentSource(args.wav, cfg, realtime=args.realtime)
+    else:
+        source = CommandSegmentSource(args.command, cfg)
+    run_monitor(source, cfg, max_segments=args.max_segments)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,231 @@
+"""Spectrogram-domain burst detector + classifier — the "ML path".
+
+TPU-native re-conception of `meteor_detect_class/` (the deployed 24/7
+pipeline).  The reference renders a matplotlib spectrogram JPEG
+(`prime_detection.py:61-98`), finds ORB keypoints on the image, clusters
+them with DBSCAN (eps=30 px, min_samples=5), and classifies clusters with
+bounding-box width ≥ 5 px ≈ 0.5 s as "critical"
+(`detector_and_classification.py:7-88`).
+
+Rendering an image to detect on it is a CPU-era artifact.  Here the same
+decision process runs directly on the dB spectrogram array on device:
+
+1. the reference's noise-floor cut becomes the detection threshold: pixels
+   with dB above the display vmin (`power_density_db_hz/(40/23) +
+   C_MS_SPEC_CUT_FACTOR`, prime_detection.py:84-85) inside the 800-1200 Hz
+   display band are "keypoints";
+2. DBSCAN's eps-ball grouping becomes a box dilation by eps/2 followed by
+   connected-component labeling (pointer-jumping min-propagation — a
+   standard parallel CC formulation that XLA compiles to gathers);
+3. clusters with fewer than ``min_samples`` member pixels are dropped
+   (DBSCAN noise), and the critical rule is evaluated on the cluster's
+   bounding-box *duration in seconds*, calibrated to the reference's
+   pixel rule: its rendered axes map 496 px ↔ 25 s and 365 px ↔ 400 Hz
+   (`detector_and_classification.py:73-78`), so 5 px ≈ 0.5 s and
+   eps=30 px ≈ (1.51 s, 32.9 Hz).
+
+Equivalence with the reference is judged at the event/count level
+(SURVEY.md §7 "Hard parts") — ORB internals are not reproducible, the
+hourly Anzahl/Kritisch counts are.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meteor_scatter_tpu.ops.spectrogram import spectrogram_mpl
+
+# Reference rendering scale (detector_and_classification.py:73-78)
+_REF_PX_PER_SEC = 496.0 / 25.0
+_REF_PX_PER_HZ = 365.0 / 400.0
+
+
+class SpectrogramImage(NamedTuple):
+    """Device-side equivalent of the rendered spectrogram JPEG."""
+
+    db: jnp.ndarray  # (n_bins, n_frames) dB, display band only
+    vmin: jnp.ndarray  # noise-floor derived display cut (scalar)
+    freqs: np.ndarray  # (n_bins,) Hz
+    hop_sec: float  # seconds per time pixel
+    hz_per_bin: float
+
+
+class ImageBursts(NamedTuple):
+    """Fixed-capacity cluster buffer (rows < count valid)."""
+
+    t_min: jnp.ndarray  # frame index of bbox left edge
+    t_max: jnp.ndarray
+    f_min: jnp.ndarray  # bin index of bbox bottom edge
+    f_max: jnp.ndarray
+    n_points: jnp.ndarray  # member pixels (pre-dilation)
+    critical: jnp.ndarray  # bool
+    count: jnp.ndarray
+    n_critical: jnp.ndarray
+    n_non_critical: jnp.ndarray
+
+
+def spectrogram_image(
+    audio: jnp.ndarray,
+    fs: float,
+    n_fft: int = 2048,
+    spec_cut_factor: float = 8.0,
+    noise_floor_band: Tuple[float, float] = (250.0, 800.0),
+    display_band: Tuple[float, float] = (800.0, 1200.0),
+) -> SpectrogramImage:
+    """Reproduce `plot_spectrogram` (prime_detection.py:61-98) as arrays:
+    mpl-specgram PSD, noise-floor power density from the quiet band, and
+    the display cut vmin = density_db/(40/23) + cut_factor."""
+    freqs, times, pxx = spectrogram_mpl(audio, fs, n_fft, noverlap=n_fft // 2)
+    delta_f = fs / n_fft
+
+    nb = (freqs >= noise_floor_band[0]) & (freqs <= noise_floor_band[1])
+    bandwidth = float(nb.sum()) * delta_f
+    band_power = jnp.sum(pxx[np.nonzero(nb)[0], :])  # summed over freq AND time (:76)
+    power_density_db_hz = 10.0 * jnp.log10(band_power / bandwidth)
+    vmin = power_density_db_hz / (40.0 / 23.0) + spec_cut_factor
+
+    db_mask = np.nonzero((freqs >= display_band[0]) & (freqs <= display_band[1]))[0]
+    pxx_db = 10.0 * jnp.log10(pxx[db_mask, :])
+
+    return SpectrogramImage(
+        db=pxx_db,
+        vmin=vmin,
+        freqs=freqs[db_mask],
+        hop_sec=(n_fft // 2) / fs,
+        hz_per_bin=delta_f,
+    )
+
+
+def _connected_components(mask: jnp.ndarray) -> jnp.ndarray:
+    """Label 8-connected components of a 2-D bool mask.
+
+    Pointer-jumping min-propagation: every pixel starts with its own id,
+    alternately takes the min over its 3×3 neighborhood (within the mask)
+    and jumps through the label table (``l = l[l]``), until stable.
+    Converges in O(log d) jumps for diameter d.  Returns int32 labels,
+    HW (=out of range) on background pixels.
+    """
+    h, w = mask.shape
+    hw = h * w
+    ids = jnp.arange(hw, dtype=jnp.int32).reshape(h, w)
+    big = jnp.asarray(hw, jnp.int32)
+    labels = jnp.where(mask, ids, big)
+
+    def neighbor_min(lab):
+        padded = jnp.pad(lab, 1, constant_values=hw)
+        best = lab
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                best = jnp.minimum(best, padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w])
+        return jnp.where(mask, best, big)
+
+    def jump(lab):
+        flat = jnp.concatenate([lab.reshape(-1), jnp.asarray([hw], jnp.int32)])
+        for _ in range(3):  # 3 jumps per round: path length 8x
+            flat = flat[flat]
+        return flat[:-1].reshape(h, w)
+
+    def body(state):
+        lab, _ = state
+        new = jump(neighbor_min(lab))
+        return new, jnp.any(new != lab)
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.asarray(True)))
+    return labels
+
+
+def cluster_bursts(
+    img: SpectrogramImage,
+    eps_px: float = 30.0,
+    min_samples: int = 5,
+    critical_min_width_px: float = 5.0,
+    cap: int = 64,
+) -> ImageBursts:
+    """DBSCAN-equivalent clustering of above-cut spectrogram pixels with the
+    reference's pixel-calibrated eps / width thresholds."""
+    mask = img.db > img.vmin  # the "keypoints": pixels visible after the cut
+
+    # eps/2 dilation in (time, freq), converted from reference pixels
+    eps_t_sec = (eps_px / 2.0) / _REF_PX_PER_SEC
+    eps_f_hz = (eps_px / 2.0) / _REF_PX_PER_HZ
+    rt = max(int(round(eps_t_sec / img.hop_sec)), 0)
+    rf = max(int(round(eps_f_hz / img.hz_per_bin)), 0)
+    dilated = jax.lax.reduce_window(
+        mask,
+        False,
+        jax.lax.bitwise_or,
+        window_dimensions=(2 * rf + 1, 2 * rt + 1),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+
+    labels = _connected_components(dilated)
+    h, w = mask.shape
+    hw = h * w
+
+    # compact cluster ids from root pixels
+    flat_lab = labels.reshape(-1)
+    own = jnp.arange(hw, dtype=jnp.int32)
+    is_root = flat_lab == own
+    comp_at_root = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    root_table = jnp.where(is_root, comp_at_root, cap).astype(jnp.int32)
+    root_table = jnp.concatenate([root_table, jnp.asarray([cap], jnp.int32)])
+    comp = root_table[jnp.minimum(flat_lab, hw)]  # (hw,) compact id or cap
+    comp = jnp.minimum(comp, cap)  # clusters beyond capacity land in the drop bucket
+
+    # member pixels = original (pre-dilation) keypoints
+    member = mask.reshape(-1)
+    seg = jnp.where(member, comp, cap)
+    n_points = jax.ops.segment_sum(member.astype(jnp.int32), seg, num_segments=cap + 1)[:cap]
+
+    fi = (own // w).astype(jnp.int32)
+    ti = (own % w).astype(jnp.int32)
+    t_min = jax.ops.segment_min(jnp.where(member, ti, w), seg, num_segments=cap + 1)[:cap]
+    t_max = jax.ops.segment_max(jnp.where(member, ti, -1), seg, num_segments=cap + 1)[:cap]
+    f_min = jax.ops.segment_min(jnp.where(member, fi, h), seg, num_segments=cap + 1)[:cap]
+    f_max = jax.ops.segment_max(jnp.where(member, fi, -1), seg, num_segments=cap + 1)[:cap]
+
+    valid = n_points >= min_samples  # DBSCAN noise rule
+    # critical: bbox duration >= 0.5 s (5 reference px), evaluated in seconds
+    min_dur_sec = critical_min_width_px / _REF_PX_PER_SEC
+    width_sec = (t_max - t_min).astype(jnp.float32) * img.hop_sec
+    critical = valid & (width_sec >= min_dur_sec)
+
+    n_clusters = jnp.sum(valid.astype(jnp.int32))
+    n_crit = jnp.sum(critical.astype(jnp.int32))
+
+    return ImageBursts(
+        t_min=t_min,
+        t_max=t_max,
+        f_min=f_min,
+        f_max=f_max,
+        n_points=jnp.where(valid, n_points, 0),
+        critical=critical,
+        count=n_clusters,
+        n_critical=n_crit,
+        n_non_critical=n_clusters - n_crit,
+    )
+
+
+def detect_and_cluster_bursts(
+    audio: jnp.ndarray,
+    fs: float,
+    n_fft: int = 2048,
+    spec_cut_factor: float = 8.0,
+    eps_px: float = 30.0,
+    min_samples: int = 5,
+    cap: int = 64,
+) -> Tuple[SpectrogramImage, ImageBursts]:
+    """Segment-level entry point mirroring the reference call pair
+    ``plot_spectrogram`` + ``detect_and_cluster_bursts``
+    (prime_detection.py:179-189)."""
+    img = spectrogram_image(audio, fs, n_fft, spec_cut_factor)
+    bursts = cluster_bursts(img, eps_px=eps_px, min_samples=min_samples, cap=cap)
+    return img, bursts

@@ -1,0 +1,216 @@
+"""I/O layer + app loop tests: WAV round trip, ledger format/rotation/
+resume, event exports, PNG writer, monitor loop, analyze pipeline."""
+
+import datetime
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from meteor_scatter_tpu.io.wavio import read_wav, stream_wav_blocks, write_wav
+from meteor_scatter_tpu.io.ledger import HourlyLedger
+from meteor_scatter_tpu.io.events_csv import (
+    OutputDetection,
+    events_to_detections,
+    write_audacity_labels,
+    write_event_csv,
+)
+from meteor_scatter_tpu.io.png import colorize, read_png_size, upscale_to, write_png
+from meteor_scatter_tpu.models.events import events_from_mask
+
+
+class TestWavIO:
+    def test_int16_roundtrip(self, tmp_path):
+        fs = 6000
+        x = (np.sin(np.linspace(0, 100, fs * 2)) * 20000).astype(np.int16)
+        p = str(tmp_path / "a.wav")
+        write_wav(p, fs, x)
+        fs2, y = read_wav(p)
+        assert fs2 == fs
+        np.testing.assert_array_equal(x, y)
+        assert y.dtype == np.int16
+
+    def test_float32_roundtrip(self, tmp_path):
+        fs = 4000
+        x = np.sin(np.linspace(0, 50, fs)).astype(np.float32)
+        p = str(tmp_path / "f.wav")
+        write_wav(p, fs, x)
+        fs2, y = read_wav(p)
+        assert fs2 == fs
+        np.testing.assert_allclose(x, y, atol=0)
+        assert y.dtype == np.float32
+
+    def test_scipy_compat(self, tmp_path):
+        import scipy.io.wavfile as wav
+
+        fs = 6000
+        x = (np.random.default_rng(0).standard_normal(fs) * 1000).astype(np.int16)
+        p = str(tmp_path / "s.wav")
+        wav.write(p, fs, x)
+        fs2, y = read_wav(p)
+        assert fs2 == fs
+        np.testing.assert_array_equal(x, y)
+
+    def test_stereo_mono_collapse(self, tmp_path):
+        fs = 4000
+        x = np.stack([np.arange(100, dtype=np.int16), np.zeros(100, np.int16)], axis=1)
+        p = str(tmp_path / "st.wav")
+        write_wav(p, fs, x)
+        _, y = read_wav(p, mono=True)
+        np.testing.assert_array_equal(y, x[:, 0])
+
+    def test_stream_blocks(self, tmp_path):
+        fs = 4000
+        x = np.arange(fs * 2, dtype=np.int16)
+        p = str(tmp_path / "b.wav")
+        write_wav(p, fs, x)
+        blocks = list(stream_wav_blocks(p, 800))
+        assert len(blocks) == 10
+        np.testing.assert_array_equal(np.concatenate(blocks), x[:8000])
+
+
+class TestLedger:
+    def test_schema_and_hourly_flush(self, tmp_path):
+        t0 = datetime.datetime(2026, 8, 17, 10, 0, 0)
+        led = HourlyLedger(str(tmp_path), now=t0)
+        led.add(2, 3, now=t0 + datetime.timedelta(minutes=10))
+        led.add(1, 0, now=t0 + datetime.timedelta(minutes=61))  # crosses interval
+        path = os.path.join(str(tmp_path), "20260817.csv")
+        lines = open(path).read().splitlines()
+        assert lines[0] == "Timestamp;Anzahl;Kritisch"
+        assert lines[1] == "2026-08-17 10:00:00;6;3"  # 2+3+1 counted into the flushed hour
+
+    def test_daily_rotation(self, tmp_path):
+        t0 = datetime.datetime(2026, 8, 17, 23, 30, 0)
+        led = HourlyLedger(str(tmp_path), now=t0)
+        led.add(1, 1, now=t0)
+        led.add(1, 0, now=t0 + datetime.timedelta(hours=1))  # next day 00:30
+        assert os.path.exists(os.path.join(str(tmp_path), "20260817.csv"))
+        assert os.path.exists(os.path.join(str(tmp_path), "20260818.csv"))
+
+    def test_crash_resume_journal(self, tmp_path):
+        t0 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+        led = HourlyLedger(str(tmp_path), now=t0)
+        led.add(4, 2, now=t0 + datetime.timedelta(minutes=5))
+        # "crash": new ledger instance resumes the open hour
+        led2 = HourlyLedger(str(tmp_path), now=t0 + datetime.timedelta(minutes=6))
+        assert led2.n_critical == 4
+        assert led2.n_non_critical == 2
+
+
+class TestEventExports:
+    def make_dets(self):
+        above = jnp.asarray([False, True, True, False, True, False])
+        series = jnp.asarray([0.0, 10.0, 12.0, 0.0, 8.0, 0.0])
+        ev = events_from_mask(above, series, cap=4)
+        return events_to_detections(
+            ev, 0.2, wav_start_date_time=datetime.datetime(2026, 1, 1, 0, 0, 0)
+        )
+
+    def test_events_to_detections(self):
+        dets = self.make_dets()
+        assert len(dets) == 2
+        assert dets[0].t_start == pytest.approx(0.2)
+        assert dets[0].t_stop == pytest.approx(0.6)
+        assert dets[0].dB == pytest.approx(11.0)
+        assert dets[0].utc_start.isoformat() == "2026-01-01T00:00:00.200000"
+
+    def test_csv_format(self, tmp_path):
+        p = str(tmp_path / "ev.csv")
+        write_event_csv(p, self.make_dets())
+        lines = open(p).read().splitlines()
+        assert lines[0] == "t_start,t_stop,dur_s,dB,utc_start,utc_stop"
+        assert len(lines) == 3
+
+    def test_audacity_format(self, tmp_path):
+        p = str(tmp_path / "lbl.txt")
+        write_audacity_labels(p, self.make_dets())
+        lines = open(p).read().splitlines()
+        assert lines[0] == "0.20\t0.60\tM"
+
+
+class TestPng:
+    def test_write_and_size(self, tmp_path):
+        img = colorize(np.random.default_rng(0).standard_normal((20, 30)))
+        p = str(tmp_path / "x.png")
+        write_png(p, img)
+        assert read_png_size(p) == (30, 20)
+        # verify it decodes with PIL
+        from PIL import Image
+
+        arr = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(arr, img)
+
+    def test_upscale(self):
+        img = colorize(np.zeros((10, 20)))
+        up = upscale_to(img, min_w=100, min_h=100)
+        assert up.shape[0] >= 100 and up.shape[1] >= 100
+
+
+class TestMonitorLoop:
+    def test_end_to_end_counts_and_ledger(self, tmp_path):
+        from meteor_scatter_tpu.apps.monitor import WavSegmentSource, run_monitor
+        from meteor_scatter_tpu.config import MonitorConfig
+        from meteor_scatter_tpu.io.wavio import write_wav
+
+        fs, seg = 5000, 30
+        rng = np.random.default_rng(2)
+        t = np.arange(fs * seg * 2) / fs
+        x = rng.standard_normal(len(t)) * 0.3
+        m = (t >= 10.0) & (t < 12.0)  # one critical burst in segment 1
+        x[m] += 3.0 * np.sin(2 * np.pi * 1000.0 * t[m])
+        p = str(tmp_path / "mon.wav")
+        write_wav(p, fs, (x * 3000).astype(np.int16))
+
+        cfg = MonitorConfig(
+            csv_out_dir=str(tmp_path / "csv"), spec_out_dir=str(tmp_path / "spec")
+        )
+        src = WavSegmentSource(p, cfg)
+        fake_now = datetime.datetime(2026, 8, 17, 9, 0, 0)
+        ledger = run_monitor(src, cfg, now_fn=lambda: fake_now)
+        assert ledger.n_critical >= 1
+        # spec image saved for the detecting segment
+        assert len(os.listdir(str(tmp_path / "spec"))) >= 1
+        # ledger file created with header
+        f = os.path.join(str(tmp_path / "csv"), "20260817.csv")
+        assert open(f).readline().strip() == "Timestamp;Anzahl;Kritisch"
+
+
+class TestAnalyzeApp:
+    def test_proc_wav_file(self, tmp_path):
+        from meteor_scatter_tpu.apps.analyze import proc_wav_file
+        from meteor_scatter_tpu.io.wavio import write_wav
+
+        fs = 6000
+        rng = np.random.default_rng(3)
+        t = np.arange(fs * 60) / fs
+        x = rng.standard_normal(len(t)) * 0.4
+        m = (t >= 20.0) & (t < 21.5)
+        x[m] += 2.0 * np.sin(2 * np.pi * 1003.0 * t[m])
+        p = str(tmp_path / "a.wav")
+        write_wav(p, fs, x.astype(np.float32))
+
+        res = proc_wav_file(
+            p,
+            out_csv_file=str(tmp_path / "ev.csv"),
+            out_audacity_lbl_file=str(tmp_path / "lbl.txt"),
+            wav_start_date_time=datetime.datetime(2026, 8, 17),
+            verbose=False,
+        )
+        assert len(res.detections) == 1
+        d = res.detections[0]
+        assert d.t_start == pytest.approx(20.0, abs=0.4)
+        assert d.t_stop == pytest.approx(21.5, abs=0.4)
+        assert os.path.exists(str(tmp_path / "ev.csv"))
+
+    def test_config_ini_roundtrip(self):
+        from meteor_scatter_tpu.config import FrameworkConfig, from_ini, to_ini
+
+        cfg = FrameworkConfig()
+        text = to_ini(cfg)
+        cfg2 = from_ini(text)
+        assert cfg2.detection == cfg.detection
+        assert cfg2.bandpower == cfg.bandpower
+        assert cfg2.dashboard == cfg.dashboard
