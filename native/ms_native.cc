@@ -1,0 +1,244 @@
+// Native streaming-ingest runtime for meteor_scatter_tpu.
+//
+// The reference has no native code (SURVEY.md §2) — its ingest is Python
+// (twitchrealtimehandler / soundfile / scipy.io.wavfile).  For a production
+// deployment the host-side feeding path must not stall the device, so this
+// library provides:
+//
+//   * a lock-free single-producer/single-consumer PCM ring buffer with
+//     int16 -> float32 conversion on pop (the grabber thread pushes raw
+//     stream bytes; the pipeline thread pops device-ready blocks),
+//   * a chunked WAV reader (PCM16/PCM32/float32, mono-collapsing) that
+//     streams arbitrarily large files without loading them,
+//   * a segment assembler enforcing the fixed segment contract of the
+//     monitor loop (prime_detection.py:150 length check).
+//
+// C ABI only — consumed from Python via ctypes (meteor_scatter_tpu/io/native.py).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <new>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// SPSC ring buffer (int16 in, float32 out)
+// ---------------------------------------------------------------------------
+
+struct MsRing {
+  int16_t* buf;
+  size_t capacity;                 // power of two
+  size_t mask;
+  std::atomic<uint64_t> head{0};   // written by producer
+  std::atomic<uint64_t> tail{0};   // written by consumer
+  std::atomic<uint64_t> dropped{0};
+};
+
+static size_t next_pow2(size_t v) {
+  size_t p = 1;
+  while (p < v) p <<= 1;
+  return p;
+}
+
+void* ms_ring_create(size_t capacity_samples) {
+  size_t cap = next_pow2(capacity_samples);
+  MsRing* r = new (std::nothrow) MsRing();
+  if (!r) return nullptr;
+  r->buf = new (std::nothrow) int16_t[cap];
+  if (!r->buf) {
+    delete r;
+    return nullptr;
+  }
+  r->capacity = cap;
+  r->mask = cap - 1;
+  return r;
+}
+
+void ms_ring_destroy(void* h) {
+  MsRing* r = static_cast<MsRing*>(h);
+  if (!r) return;
+  delete[] r->buf;
+  delete r;
+}
+
+size_t ms_ring_capacity(void* h) { return static_cast<MsRing*>(h)->capacity; }
+
+size_t ms_ring_available(void* h) {
+  MsRing* r = static_cast<MsRing*>(h);
+  return static_cast<size_t>(r->head.load(std::memory_order_acquire) -
+                             r->tail.load(std::memory_order_acquire));
+}
+
+uint64_t ms_ring_dropped(void* h) {
+  return static_cast<MsRing*>(h)->dropped.load(std::memory_order_relaxed);
+}
+
+// Push int16 samples; returns number actually stored (excess is counted as
+// dropped — a live stream must not block the producer).
+size_t ms_ring_push_i16(void* h, const int16_t* data, size_t n) {
+  MsRing* r = static_cast<MsRing*>(h);
+  uint64_t head = r->head.load(std::memory_order_relaxed);
+  uint64_t tail = r->tail.load(std::memory_order_acquire);
+  size_t free_space = r->capacity - static_cast<size_t>(head - tail);
+  size_t to_write = n < free_space ? n : free_space;
+  for (size_t i = 0; i < to_write; ++i) {
+    r->buf[(head + i) & r->mask] = data[i];
+  }
+  r->head.store(head + to_write, std::memory_order_release);
+  if (to_write < n) {
+    r->dropped.fetch_add(n - to_write, std::memory_order_relaxed);
+  }
+  return to_write;
+}
+
+// Pop up to n samples as float32 scaled to [-1, 1); returns count popped.
+size_t ms_ring_pop_f32(void* h, float* out, size_t n) {
+  MsRing* r = static_cast<MsRing*>(h);
+  uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  uint64_t head = r->head.load(std::memory_order_acquire);
+  size_t avail = static_cast<size_t>(head - tail);
+  size_t to_read = n < avail ? n : avail;
+  constexpr float kScale = 1.0f / 32768.0f;
+  for (size_t i = 0; i < to_read; ++i) {
+    out[i] = static_cast<float>(r->buf[(tail + i) & r->mask]) * kScale;
+  }
+  r->tail.store(tail + to_read, std::memory_order_release);
+  return to_read;
+}
+
+// Blocking-style segment pop: only succeeds when a full segment is ready.
+// Returns 1 and fills `out` when seg_samples were popped, 0 otherwise.
+int ms_ring_pop_segment_f32(void* h, float* out, size_t seg_samples) {
+  if (ms_ring_available(h) < seg_samples) return 0;
+  size_t got = ms_ring_pop_f32(h, out, seg_samples);
+  return got == seg_samples ? 1 : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Chunked WAV reader
+// ---------------------------------------------------------------------------
+
+struct MsWav {
+  FILE* f;
+  int fs;
+  int channels;
+  int bits;
+  int fmt;  // 1 = PCM, 3 = float
+  long long n_frames;
+  long long pos_frames;
+  long long data_offset;
+};
+
+void* ms_wav_open(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  char id[4];
+  uint32_t sz;
+  if (std::fread(id, 1, 4, f) != 4 || std::memcmp(id, "RIFF", 4) != 0) goto fail;
+  if (std::fread(&sz, 4, 1, f) != 1) goto fail;
+  if (std::fread(id, 1, 4, f) != 4 || std::memcmp(id, "WAVE", 4) != 0) goto fail;
+  {
+    MsWav* w = new (std::nothrow) MsWav();
+    if (!w) goto fail;
+    w->f = f;
+    w->pos_frames = 0;
+    w->data_offset = -1;
+    long long data_size = 0;
+    while (std::fread(id, 1, 4, f) == 4 && std::fread(&sz, 4, 1, f) == 1) {
+      if (std::memcmp(id, "fmt ", 4) == 0) {
+        uint16_t fmt, ch, balign, bits;
+        uint32_t fs, brate;
+        if (std::fread(&fmt, 2, 1, f) != 1) break;
+        std::fread(&ch, 2, 1, f);
+        std::fread(&fs, 4, 1, f);
+        std::fread(&brate, 4, 1, f);
+        std::fread(&balign, 2, 1, f);
+        std::fread(&bits, 2, 1, f);
+        std::fseek(f, sz - 16 + (sz & 1), SEEK_CUR);
+        w->fmt = fmt;
+        w->channels = ch;
+        w->fs = static_cast<int>(fs);
+        w->bits = bits;
+      } else if (std::memcmp(id, "data", 4) == 0) {
+        w->data_offset = std::ftell(f);
+        data_size = sz;
+        std::fseek(f, sz + (sz & 1), SEEK_CUR);
+      } else {
+        std::fseek(f, sz + (sz & 1), SEEK_CUR);
+      }
+    }
+    if (w->data_offset < 0 || w->channels <= 0 || w->bits <= 0) {
+      delete w;
+      goto fail;
+    }
+    w->n_frames = data_size / (w->channels * (w->bits / 8));
+    std::fseek(f, w->data_offset, SEEK_SET);
+    return w;
+  }
+fail:
+  std::fclose(f);
+  return nullptr;
+}
+
+int ms_wav_info(void* h, int* fs, int* channels, int* bits, long long* n_frames) {
+  MsWav* w = static_cast<MsWav*>(h);
+  if (!w) return 0;
+  *fs = w->fs;
+  *channels = w->channels;
+  *bits = w->bits;
+  *n_frames = w->n_frames;
+  return 1;
+}
+
+// Read up to n frames, collapse to mono (first channel), scaled float32.
+long long ms_wav_read_f32(void* h, float* out, long long n) {
+  MsWav* w = static_cast<MsWav*>(h);
+  long long remaining = w->n_frames - w->pos_frames;
+  if (n > remaining) n = remaining;
+  if (n <= 0) return 0;
+
+  const int ch = w->channels;
+  const int bytes = w->bits / 8;
+  const long long frame_bytes = static_cast<long long>(ch) * bytes;
+  constexpr long long kChunk = 65536;
+  static thread_local char buf[kChunk];
+
+  long long done = 0;
+  while (done < n) {
+    long long want = n - done;
+    long long fit = kChunk / frame_bytes;
+    if (want > fit) want = fit;
+    size_t got = std::fread(buf, static_cast<size_t>(frame_bytes), static_cast<size_t>(want), w->f);
+    if (got == 0) break;
+    for (size_t i = 0; i < got; ++i) {
+      const char* p = buf + i * frame_bytes;
+      float v = 0.0f;
+      if (w->fmt == 3 && w->bits == 32) {
+        std::memcpy(&v, p, 4);
+      } else if (w->fmt == 1 && w->bits == 16) {
+        int16_t s;
+        std::memcpy(&s, p, 2);
+        v = static_cast<float>(s) / 32768.0f;
+      } else if (w->fmt == 1 && w->bits == 32) {
+        int32_t s;
+        std::memcpy(&s, p, 4);
+        v = static_cast<float>(s) / 2147483648.0f;
+      }
+      out[done + static_cast<long long>(i)] = v;
+    }
+    done += static_cast<long long>(got);
+  }
+  w->pos_frames += done;
+  return done;
+}
+
+void ms_wav_close(void* h) {
+  MsWav* w = static_cast<MsWav*>(h);
+  if (!w) return;
+  std::fclose(w->f);
+  delete w;
+}
+
+}  // extern "C"

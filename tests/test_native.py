@@ -1,0 +1,132 @@
+"""Native runtime tests: build the C++ library, exercise ring buffer and
+WAV reader through ctypes, and check fallback parity."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from meteor_scatter_tpu.io.native import (
+    NativeWavReader,
+    PcmRing,
+    build_native,
+    native_available,
+)
+from meteor_scatter_tpu.io.wavio import write_wav
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    ok = build_native()
+    if not ok:
+        pytest.skip("no C++ toolchain")
+    assert native_available()
+
+
+class TestRing:
+    def test_push_pop_roundtrip(self):
+        r = PcmRing(1 << 14)
+        assert r.native
+        data = (np.arange(1000) % 500 - 250).astype(np.int16)
+        assert r.push(data) == 1000
+        assert r.available() == 1000
+        out = r.pop(1000)
+        np.testing.assert_allclose(out, data.astype(np.float32) / 32768.0)
+        assert r.available() == 0
+
+    def test_wraparound(self):
+        r = PcmRing(1024)
+        for _ in range(10):  # push/pop cycles crossing the wrap point
+            data = np.random.default_rng(0).integers(-1000, 1000, 700).astype(np.int16)
+            assert r.push(data) == 700
+            out = r.pop(700)
+            np.testing.assert_allclose(out, data.astype(np.float32) / 32768.0)
+
+    def test_overflow_drops(self):
+        r = PcmRing(256)  # rounds up to 256
+        data = np.ones(1000, np.int16)
+        pushed = r.push(data)
+        assert pushed == r.capacity
+        assert r.dropped() == 1000 - r.capacity
+
+    def test_segment_contract(self):
+        r = PcmRing(1 << 13)
+        r.push(np.ones(4000, np.int16))
+        assert r.pop_segment(5000) is None  # not enough yet
+        r.push(np.ones(1000, np.int16))
+        seg = r.pop_segment(5000)
+        assert seg is not None and len(seg) == 5000
+
+    def test_threaded_producer_consumer(self):
+        r = PcmRing(1 << 15)
+        total = 200_000
+        src = (np.arange(total) % 32768 - 16384).astype(np.int16)
+        got = []
+
+        def producer():
+            i = 0
+            while i < total:
+                n = r.push(src[i : i + 4096])
+                i += n
+
+        def consumer():
+            count = 0
+            while count < total:
+                out = r.pop(4096)
+                if len(out):
+                    got.append(out)
+                    count += len(out)
+
+        tp = threading.Thread(target=producer)
+        tc = threading.Thread(target=consumer)
+        tp.start(); tc.start()
+        tp.join(timeout=30); tc.join(timeout=30)
+        out = np.concatenate(got)
+        assert len(out) == total
+        np.testing.assert_allclose(out, src.astype(np.float32) / 32768.0)
+        # dropped counts push-time rejections; the retrying producer turns
+        # backpressure into retries, so data integrity is the invariant here
+
+
+class TestNativeWav:
+    def test_reads_int16_chunked(self, tmp_path):
+        fs = 6000
+        x = (np.sin(np.linspace(0, 300, fs * 3)) * 20000).astype(np.int16)
+        p = str(tmp_path / "n.wav")
+        write_wav(p, fs, x)
+        rd = NativeWavReader(p)
+        assert rd.native
+        assert rd.fs == fs
+        assert rd.n_frames == len(x)
+        chunks = []
+        while True:
+            c = rd.read(4096)
+            if len(c) == 0:
+                break
+            chunks.append(c)
+        rd.close()
+        out = np.concatenate(chunks)
+        np.testing.assert_allclose(out, x.astype(np.float32) / 32768.0, atol=1e-7)
+
+    def test_reads_float32(self, tmp_path):
+        fs = 4000
+        x = np.sin(np.linspace(0, 80, fs)).astype(np.float32)
+        p = str(tmp_path / "f.wav")
+        write_wav(p, fs, x)
+        rd = NativeWavReader(p)
+        out = rd.read(fs + 10)
+        rd.close()
+        assert len(out) == fs
+        np.testing.assert_allclose(out, x, atol=0)
+
+    def test_stereo_collapses_first_channel(self, tmp_path):
+        fs = 4000
+        st = np.stack(
+            [np.arange(200, dtype=np.int16), np.full(200, 7, np.int16)], axis=1
+        )
+        p = str(tmp_path / "st.wav")
+        write_wav(p, fs, st)
+        rd = NativeWavReader(p)
+        out = rd.read(200)
+        rd.close()
+        np.testing.assert_allclose(out, st[:, 0].astype(np.float32) / 32768.0)
