@@ -99,9 +99,15 @@ def resample_poly(x: jnp.ndarray, up: int, down: int, numtaps_per_phase: int = 2
     # cutoff at min(1/up, 1/down) of the upsampled Nyquist
     h = firwin_lowpass(numtaps, 1.0 / max_rate, fs=2.0) * up
     t = len(h)
-    pad = ((t - 1) // 2, t - 1 - (t - 1) // 2)
-    y = _conv1d(x, h, stride=down, pad=pad, lhs_dilation=up)
-    n_out = int(math.ceil(x.shape[-1] * up / down))
+    n = x.shape[-1]
+    n_out = int(math.ceil(n * up / down))
+    # left pad centers the filter (phase-preserving); right pad is sized so
+    # the strided conv emits exactly n_out samples even when the dilated
+    # input (n-1)*up+1 ends short of the last output's support
+    pl = (t - 1) // 2
+    l_dil = (n - 1) * up + 1
+    pr = max((n_out - 1) * down + t - l_dil - pl, 0)
+    y = _conv1d(x, h, stride=down, pad=(pl, pr), lhs_dilation=up)
     return y[..., :n_out]
 
 
@@ -129,19 +135,48 @@ def channelize(
     bandwidth: float,
     decim: int,
     numtaps: int = 257,
-) -> jnp.ndarray:
+    channel_chunk: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-channel DDC bank: mix each beacon channel to baseband, lowpass,
     and decimate — the front half of BASELINE config 4's "polyphase
-    channelizer".  Returns complex (n_channels, ..., n_out).
+    channelizer".  Returns the complex baseband as a *real pair*
+    ``(re, im)``, each (n_channels, n_out) float32 — this TPU backend has
+    no complex dtype support, and I/Q-as-two-reals is the faster layout
+    anyway (pure VPU multiplies + batched real convolutions).
 
-    All channels share one strided convolution with the channel axis mapped
-    to the conv feature dimension, so the MXU sees a single batched matmul.
+    The mixer for an integer-Hz channel repeats every ``fs/gcd(fc, fs)``
+    samples, so only one period table per channel is built on the host and
+    tiled on device — no (C, n) float64 phase ramp is ever materialized
+    (that costs more than the filtering at MS/s rates).  Channels are
+    processed in chunks that share one batched strided convolution.
     """
     n = x.shape[-1]
-    t = np.arange(n, dtype=np.float64) / fs
-    mix = np.exp(-2j * np.pi * np.outer(center_freqs, t))  # (C, n)
-    xm = x.astype(jnp.complex64)[None, ...] * jnp.asarray(mix.astype(np.complex64))
+    fs_i = int(round(fs))
+    if abs(fs - fs_i) > 1e-6:
+        raise ValueError("channelize requires an integer sample rate")
     h = firwin_lowpass(numtaps, bandwidth / 2.0, fs)
-    re = polyphase_decimate(xm.real, h, decim)
-    im = polyphase_decimate(xm.imag, h, decim)
-    return re + 1j * im
+    xj = jnp.asarray(x, jnp.float32)
+
+    def mixer_tables(fc: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        fc_i = int(round(fc))
+        if abs(fc - fc_i) > 1e-9:
+            raise ValueError("channel centers must be integer Hz")
+        period = fs_i // math.gcd(abs(fc_i) % fs_i or fs_i, fs_i)
+        k = np.arange(min(period, n), dtype=np.int64)
+        phase = 2.0 * np.pi * ((k * (fc_i % fs_i)) % fs_i) / fs_i
+        reps = -(-n // len(k))
+        cos_t = jnp.tile(jnp.asarray(np.cos(phase), dtype=jnp.float32), reps)[:n]
+        sin_t = jnp.tile(jnp.asarray(np.sin(phase), dtype=jnp.float32), reps)[:n]
+        return cos_t, sin_t
+
+    res, ims = [], []
+    freqs = list(np.asarray(center_freqs).ravel())
+    for c0 in range(0, len(freqs), channel_chunk):
+        group = freqs[c0 : c0 + channel_chunk]
+        tables = [mixer_tables(fc) for fc in group]
+        cos_m = jnp.stack([t[0] for t in tables])  # (G, n)
+        sin_m = jnp.stack([t[1] for t in tables])
+        # e^{-j2πft} · x  =  x·cos  −  j·x·sin
+        res.append(polyphase_decimate(xj[None, :] * cos_m, h, decim))
+        ims.append(polyphase_decimate(-(xj[None, :] * sin_m), h, decim))
+    return jnp.concatenate(res, axis=0), jnp.concatenate(ims, axis=0)
