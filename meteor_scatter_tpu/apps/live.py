@@ -67,9 +67,11 @@ class LiveSession:
         if n_blocks == 0:
             return []
         usable = n_blocks * self.block_samples
+        self.block_offset_before_feed = self._blocks_fed
         self.state, events, diags = stream_process(
             self.cfg, self.state, jnp.asarray(samples[:usable], jnp.float32), self.fs
         )
+        self.last_diags = diags
 
         # waterfall ring
         psd_db = np.asarray(diags["psd_db"])
@@ -149,17 +151,32 @@ def wav_file_process(
         data = data.astype(np.float32) / 32768.0
     data = np.asarray(data, dtype=np.float32)
 
-    sess = LiveSession(config_detection, fs, config_visualization, config_spec_export)
+    vis = config_visualization or VisualizationConfig()
+    sess = LiveSession(config_detection, fs, vis, config_spec_export)
+    view = None
+    if vis.enable_ui_plots:
+        from meteor_scatter_tpu.apps.live_view import LiveView
+
+        view = LiveView(config_detection, vis, fs, sess.freqs)
+        # UI pacing works best on ~1 s chunks
+        chunk_sec = min(chunk_sec, 1.0)
     chunk = int(chunk_sec * fs)
     chunk -= chunk % sess.block_samples
     for i in range(0, len(data), chunk):
-        for ev in sess.feed(data[i : i + chunk]):
+        new = sess.feed(data[i : i + chunk])
+        for ev in new:
             print(
                 f"Detected Meteor: start={ev['time_start']:.2f}s stop={ev['time_stop']:.2f}s "
                 f"dur={ev['duration']:.2f}s dB mean={ev['db_mean']:.2f} "
                 f"min={ev['db_min']:.2f} max={ev['db_max']:.2f} std={ev['db_std']:.2f} "
                 f"// total {len(sess.events)}"
             )
+        if view is not None:
+            if int(sess.state.state) != 0:  # auto-gain only after Initialization
+                view.psd_mean_from_init = float(sess.state.psd_db_mean_from_init)
+            view.update(sess.last_diags, sess.block_offset_before_feed, new)
+    if view is not None:
+        view.finish()
     return sess.events
 
 
@@ -177,6 +194,8 @@ def main(argv=None) -> int:
     p.add_argument("--stop-sec", type=float, default=-1.0)
     p.add_argument("--sample-rate", type=int, default=None)
     p.add_argument("--spec-export-dir", default="")
+    p.add_argument("--ui", action="store_true", help="live 3x2 dashboard (needs matplotlib GUI)")
+    p.add_argument("--realtime-factor", type=float, default=16.0)
     args = p.parse_args(argv)
 
     cfg = DetectionConfig(
@@ -189,11 +208,13 @@ def main(argv=None) -> int:
         detection_db_over_noise_mean_min=args.min_mean_db,
     )
     spec = SpecExportConfig(output_dir=args.spec_export_dir)
+    vis = VisualizationConfig(enable_ui_plots=args.ui, realtime_factor=args.realtime_factor)
     if args.spec_export_dir:
         os.makedirs(args.spec_export_dir, exist_ok=True)
     events = wav_file_process(
         args.wav,
         cfg,
+        config_visualization=vis,
         config_spec_export=spec,
         wav_file_start_sec=args.start_sec,
         wav_file_stop_sec=args.stop_sec,
