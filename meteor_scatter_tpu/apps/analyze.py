@@ -56,6 +56,72 @@ class AnalyzeResult:
     timer: PhaseTimer = field(default_factory=PhaseTimer)
 
 
+def export_debug_plots(res: "AnalyzeResult", out_dir: str) -> List[str]:
+    """Static result plots mirroring the reference's debug_plot_output set
+    (`main.py:531-565,660-719`): delta power vs adaptive threshold with
+    detection spans, duration / dB histograms, and detections per hour.
+    Requires matplotlib (optional dependency)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    times = np.arange(len(res.delta_power)) * res.block_duration_sec
+
+    fig, ax = plt.subplots(figsize=(10, 5))
+    ax.plot(times, res.delta_power, label="Delta Power")
+    ax.plot(times, res.thresholds, label="Adaptive Threshold", linestyle="--", color="red")
+    for det in res.detections:
+        ax.axvspan(det.t_start, det.t_stop, color="orange", alpha=0.5)
+    ax.set_xlabel("Zeit (s)")
+    ax.set_ylabel("Leistung (dB)")
+    ax.legend()
+    ax.grid(True)
+    fig.tight_layout()
+    p = os.path.join(out_dir, "delta_threshold.png")
+    fig.savefig(p, dpi=150)
+    plt.close(fig)
+    written.append(p)
+
+    for name, vals, xlabel in [
+        ("hist_duration", [d.dur_s for d in res.detections], "Duration (s)"),
+        ("hist_db", [d.dB for d in res.detections], "dB"),
+    ]:
+        fig, ax = plt.subplots(figsize=(10, 5))
+        ax.hist(vals, bins=30, alpha=0.7)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel("Count")
+        ax.grid(True)
+        fig.tight_layout()
+        p = os.path.join(out_dir, f"{name}.png")
+        fig.savefig(p, dpi=150)
+        plt.close(fig)
+        written.append(p)
+
+    hours = {}
+    for det in res.detections:
+        if det.utc_start is not None:
+            h = det.utc_start.replace(minute=0, second=0, microsecond=0)
+            hours[h] = hours.get(h, 0) + 1
+    if hours:
+        keys = sorted(hours)
+        fig, ax = plt.subplots(figsize=(12, 6))
+        ax.bar([k.strftime("%Y-%m-%d %H:%M") for k in keys], [hours[k] for k in keys],
+               color="skyblue")
+        ax.set_xlabel("UTC Zeit (Datum + Stunde)")
+        ax.set_ylabel("Anzahl der Detektionen")
+        ax.set_title("Detektionen pro Stunde")
+        plt.setp(ax.get_xticklabels(), rotation=45, ha="right")
+        fig.tight_layout()
+        p = os.path.join(out_dir, "per_hour.png")
+        fig.savefig(p, dpi=150)
+        plt.close(fig)
+        written.append(p)
+    return written
+
+
 def parse_gqrx_start_time(file_path: str) -> Optional[datetime.datetime]:
     """UTC start time from gqrx-style filenames (`main.py:858-863`)."""
     name = os.path.basename(file_path)
@@ -184,6 +250,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out-csv", default=None)
     p.add_argument("--out-audacity", default=None)
     p.add_argument("--out-spec-dir", default=None)
+    p.add_argument("--plot-dir", default=None, help="write delta/threshold + histogram plots")
     args = p.parse_args(argv)
 
     bw = args.bandwidth
@@ -203,6 +270,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         flag_adaptive_threshold=not args.fixed_threshold,
         expected_sample_rate=args.sample_rate,
     )
+    if args.plot_dir:
+        for w in export_debug_plots(res, args.plot_dir):
+            print("wrote", w)
     print(f"Found {len(res.detections)} detections")
     print(res.timer.summary())
     return 0
