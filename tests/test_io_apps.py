@@ -214,3 +214,65 @@ class TestAnalyzeApp:
         assert cfg2.detection == cfg.detection
         assert cfg2.bandpower == cfg.bandpower
         assert cfg2.dashboard == cfg.dashboard
+
+
+class TestMonitorSupervision:
+    def test_short_segment_triggers_rebuild(self, tmp_path):
+        """Stream recovery: a short grab must invoke source.rebuild() and
+        continue (prime_detection.py:150-173 behavior)."""
+        from meteor_scatter_tpu.apps.monitor import run_monitor
+        from meteor_scatter_tpu.config import MonitorConfig
+
+        cfg = MonitorConfig(
+            csv_out_dir=str(tmp_path / "csv"), spec_out_dir=str(tmp_path / "spec")
+        )
+        expected = cfg.sample_rate * cfg.segment_len_sec
+        rng = np.random.default_rng(0)
+
+        class FlakySource:
+            def __init__(self):
+                self.calls = 0
+                self.rebuilds = 0
+
+            def grab(self):
+                self.calls += 1
+                if self.calls == 1:
+                    return np.zeros(100, np.int16)  # short -> must rebuild
+                if self.calls <= 3:
+                    return (rng.standard_normal(expected) * 100).astype(np.int16)
+                return None
+
+            def rebuild(self):
+                self.rebuilds += 1
+
+        src = FlakySource()
+        fake_now = datetime.datetime(2026, 8, 17, 9, 0, 0)
+        run_monitor(src, cfg, now_fn=lambda: fake_now)
+        assert src.rebuilds == 1
+        assert src.calls == 4  # short, 2 good, exhausted
+
+    def test_grab_exception_backoff(self, tmp_path, monkeypatch):
+        """Grab errors sleep-and-continue instead of crashing
+        (prime_detection.py:145-147)."""
+        import meteor_scatter_tpu.apps.monitor as mon
+
+        sleeps = []
+        monkeypatch.setattr(mon.time, "sleep", lambda s: sleeps.append(s))
+        cfg = mon.MonitorConfig(
+            csv_out_dir=str(tmp_path / "csv"), spec_out_dir=str(tmp_path / "spec")
+        )
+
+        class ErrorThenDone:
+            def __init__(self):
+                self.calls = 0
+
+            def grab(self):
+                self.calls += 1
+                if self.calls == 1:
+                    raise RuntimeError("stream hiccup")
+                return None
+
+        src = ErrorThenDone()
+        mon.run_monitor(src, cfg)
+        assert src.calls == 2
+        assert 5 in sleeps
