@@ -240,8 +240,11 @@ def adaptive_thresholds_parallel(
         return (delta > thr, above, rounds + 1)
 
     above0 = delta > thresholds_from(jnp.zeros(n, bool))
+    # `above0 ^ above0` is all-False but *derived from the data*, which keeps
+    # the carry's varying-manual-axes type consistent when this solver runs
+    # inside shard_map (a plain zeros constant is unvarying and rejected)
     above, _, _ = jax.lax.while_loop(
-        cond, body, (above0, jnp.zeros(n, bool), jnp.asarray(1, jnp.int32))
+        cond, body, (above0, above0 ^ above0, jnp.asarray(1, jnp.int32))
     )
     thr = thresholds_from(above)
     return thr, delta > thr

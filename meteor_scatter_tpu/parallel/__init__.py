@@ -19,6 +19,7 @@ from meteor_scatter_tpu.parallel.sharded import (  # noqa: F401
     sharded_delta_power,
     sharded_detect_fixed,
     sharded_detect_adaptive,
+    sharded_detect_adaptive_exact,
     sharded_spectrogram_psd,
     sharded_fir_filter,
 )

@@ -226,6 +226,59 @@ def sharded_detect_adaptive(
     return fn(_place(delta, mesh))
 
 
+def sharded_detect_adaptive_exact(
+    delta: jnp.ndarray,  # (C, B) sharded (station, time)
+    mesh: Mesh,
+    threshold_std_factor: float,
+    window_blocks: int,
+    freeze_blocks_before: int,
+    freeze_blocks_after: int,
+    fixed_threshold_blocks: int,
+):
+    """Bit-exact adaptive detection on time-sharded data.
+
+    The block-rate series is ~4 orders of magnitude smaller than the audio
+    (one value per 0.2 s), so gathering each channel's full delta series
+    over the time axis and running the vectorized fixpoint solver
+    replicated is essentially free next to the sample-rate work — and,
+    unlike the warm-up-halo variant (:func:`sharded_detect_adaptive`),
+    exactly equals the unsharded result for *every* shard.  Use the halo
+    variant only when the block series itself is too large to replicate
+    (multi-day × many-station runs).
+
+    Returns (thresholds, above) replicated over time, sharded over station.
+    """
+    from meteor_scatter_tpu.models.adaptive import adaptive_thresholds_parallel
+
+    def local(dl):  # (C_loc, B_loc)
+        full = lax.all_gather(dl, TIME_AXIS, axis=1, tiled=True)  # (C_loc, B)
+
+        def one_channel(d_ch):
+            return adaptive_thresholds_parallel(
+                d_ch,
+                threshold_std_factor,
+                window_blocks,
+                freeze_blocks_before,
+                freeze_blocks_after,
+                fixed_threshold_blocks,
+            )
+
+        thr, above = jax.vmap(one_channel)(full)
+        return thr, above
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(STATION_AXIS, TIME_AXIS),
+        out_specs=(P(STATION_AXIS), P(STATION_AXIS)),
+        # outputs are replicated over 'time' by construction (tiled
+        # all_gather feeds every shard the identical full series), but the
+        # varying-axes checker can't prove that through the fixpoint loop
+        check_vma=False,
+    )
+    return fn(_place(delta, mesh))
+
+
 def sharded_spectrogram_psd(
     x: jnp.ndarray,  # (C, S)
     mesh: Mesh,

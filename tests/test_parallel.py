@@ -128,3 +128,27 @@ class TestShardedFIR:
         got = sharded_fir_filter(jnp.asarray(x), mesh, taps)
         want = fir_filter(jnp.asarray(x), taps, mode="same")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+class TestShardedAdaptiveExact:
+    def test_bit_exact_everywhere(self, mesh):
+        from meteor_scatter_tpu.models.adaptive import adaptive_thresholds_parallel
+        from meteor_scatter_tpu.parallel.sharded import sharded_detect_adaptive_exact
+
+        x = audio(2, 32.0, seed=8)
+        _, _, d = sharded_delta_power(jnp.asarray(x), mesh, FS, NFFT, BLOCK, FB, NB)
+        kw = dict(
+            threshold_std_factor=4.0,
+            window_blocks=25,
+            freeze_blocks_before=3,
+            freeze_blocks_after=10,
+            fixed_threshold_blocks=10,
+        )
+        thr_s, above_s = sharded_detect_adaptive_exact(d, mesh, **kw)
+        d_np = np.asarray(d)
+        for c in range(2):
+            thr_u, above_u = adaptive_thresholds_parallel(jnp.asarray(d_np[c]), **kw)
+            np.testing.assert_array_equal(np.asarray(above_s[c]), np.asarray(above_u))
+            np.testing.assert_allclose(
+                np.asarray(thr_s[c]), np.asarray(thr_u), rtol=0, atol=0, equal_nan=True
+            )
