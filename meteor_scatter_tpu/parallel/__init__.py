@@ -22,4 +22,5 @@ from meteor_scatter_tpu.parallel.sharded import (  # noqa: F401
     sharded_detect_adaptive_exact,
     sharded_spectrogram_psd,
     sharded_fir_filter,
+    sharded_welch_blocks,
 )
