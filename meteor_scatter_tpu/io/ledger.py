@@ -39,7 +39,7 @@ class HourlyLedger:
         self.n_critical = 0
         self.n_non_critical = 0
         self._ensure_file(now)
-        self._recover()
+        self._recover(now)
 
     # -- file management ---------------------------------------------------
 
@@ -54,7 +54,7 @@ class HourlyLedger:
                 fh.write(SEP.join(COLUMNS) + "\n")
         return path
 
-    def _recover(self) -> None:
+    def _recover(self, now: datetime) -> None:
         """Resume in-progress hour counts after a crash."""
         if self.journal_path and os.path.exists(self.journal_path):
             try:
@@ -62,7 +62,7 @@ class HourlyLedger:
                     j = json.load(fh)
                 start = datetime.fromisoformat(j["hour_start"])
                 # only resume if the journaled hour is still open
-                if datetime.now() - start < self.save_interval:
+                if now - start < self.save_interval:
                     self.hour_start = start
                     self.n_critical = int(j["critical"])
                     self.n_non_critical = int(j["non_critical"])
