@@ -11,6 +11,7 @@ from meteor_scatter_tpu.apps.merge import (
     detections_per_hour,
     hour_day_matrix,
     merge_event_csvs,
+    render_html_report,
     render_plots,
 )
 from meteor_scatter_tpu.io.events_csv import OutputDetection, write_event_csv
@@ -65,3 +66,26 @@ def test_render_plots(tmp_path):
 
     for w in written:
         assert os.path.getsize(w) > 0
+
+
+def test_render_html_report(tmp_path):
+    d1 = datetime.date(2026, 8, 1)
+    d2 = datetime.date(2026, 8, 2)
+    p1 = str(tmp_path / "a.csv")
+    p2 = str(tmp_path / "b.csv")
+    write_day(p1, d1, {0: 3, 5: 2})
+    write_day(p2, d2, {5: 4})
+    df = merge_event_csvs([p1, p2])
+    out = render_html_report(df, str(tmp_path / "report.html"))
+    html = open(out).read()
+    # self-contained: no external scripts/stylesheets
+    assert "http://" not in html and "https://" not in html
+    assert "<script" in html and "<svg" in html
+    # hour bars carry hover tooltips with the counts
+    assert "Detektionen pro Stunde" in html
+    assert "05:00 UTC: <b>4</b>" in html  # heatmap cell for day 2 hour 5
+    # one bar per hour bucket + one per day bucket, each with a tooltip handler
+    assert html.count('class="bar"') == len(detections_per_hour(df)) + len(
+        detections_per_day(df)
+    )
+    assert html.count("onmousemove") >= len(detections_per_hour(df))
