@@ -20,6 +20,7 @@ see `meteor_scatter_tpu/apps/watchdog.sh`.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import subprocess
 import time
@@ -36,18 +37,52 @@ from meteor_scatter_tpu.models.image import detect_and_cluster_bursts
 from meteor_scatter_tpu.utils.timing import PhaseTimer
 
 
+class OffsetJournal:
+    """Persisted stream offset for replayable sources (SURVEY.md §5
+    checkpoint/resume).  Live streams have no seekable offset, but a WAV
+    replay/reprocess run does: journaling the consumed sample position next
+    to the CSV ledger lets a restarted monitor continue exactly where it
+    stopped instead of re-counting (or skipping) segments.  Keyed on the
+    source identity so a different input file starts fresh."""
+
+    def __init__(self, out_dir: str, source_id: Optional[str]):
+        self.path = os.path.join(out_dir, ".offset.json") if source_id else None
+        self.source_id = source_id
+
+    def load(self) -> int:
+        if not self.path or not os.path.exists(self.path):
+            return 0
+        try:
+            with open(self.path) as fh:
+                j = json.load(fh)
+            return int(j["pos"]) if j.get("source") == self.source_id else 0
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return 0
+
+    def save(self, pos: int) -> None:
+        if not self.path:
+            return
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"source": self.source_id, "pos": int(pos)}, fh)
+        os.replace(tmp, self.path)
+
+
 class WavSegmentSource:
     """Replays a WAV file as consecutive segments (real-time optional)."""
 
-    def __init__(self, path: str, cfg: MonitorConfig, realtime: bool = False):
+    def __init__(
+        self, path: str, cfg: MonitorConfig, realtime: bool = False, start_pos: int = 0
+    ):
         fs, data = read_wav(path, mono=True)
         if fs != cfg.sample_rate:
             raise ValueError(f"expected {cfg.sample_rate} Hz, got {fs}")
         self.data = data
         self.seg = cfg.sample_rate * cfg.segment_len_sec
-        self.pos = 0
+        self.pos = min(int(start_pos), len(data))
         self.realtime = realtime
         self.seg_sec = cfg.segment_len_sec
+        self.source_id = os.path.abspath(path)
 
     def grab(self) -> Optional[np.ndarray]:
         if self.pos + self.seg > len(self.data):
@@ -118,6 +153,7 @@ def run_monitor(
 
     os.makedirs(cfg.spec_out_dir, exist_ok=True)
     ledger = HourlyLedger(cfg.csv_out_dir, save_interval_min=cfg.save_interval_min)
+    offsets = OffsetJournal(cfg.csv_out_dir, getattr(source, "source_id", None))
     timer = PhaseTimer(log=True)
     expected = cfg.sample_rate * cfg.segment_len_sec
     n = 0
@@ -170,6 +206,8 @@ def run_monitor(
             )
 
         ledger.add(n_crit, n_non, now=now_fn())
+        if hasattr(source, "pos"):
+            offsets.save(source.pos)  # journal after the counts are durable
         n += 1
 
     print(timer.summary())
@@ -187,6 +225,8 @@ def main(argv=None) -> int:
     p.add_argument("--segment-len", type=int, default=30)
     p.add_argument("--max-segments", type=int, default=None)
     p.add_argument("--realtime", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a WAV replay from the journaled offset")
     args = p.parse_args(argv)
 
     cfg = MonitorConfig(
@@ -196,7 +236,12 @@ def main(argv=None) -> int:
         spec_out_dir=args.spec_out,
     )
     if args.wav:
-        source = WavSegmentSource(args.wav, cfg, realtime=args.realtime)
+        start = 0
+        if args.resume:
+            start = OffsetJournal(args.csv_out, os.path.abspath(args.wav)).load()
+            if start:
+                print(f"[INFO] Resuming {args.wav} at sample {start}")
+        source = WavSegmentSource(args.wav, cfg, realtime=args.realtime, start_pos=start)
     else:
         source = CommandSegmentSource(args.command, cfg)
     run_monitor(source, cfg, max_segments=args.max_segments)

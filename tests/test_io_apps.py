@@ -177,6 +177,40 @@ class TestMonitorLoop:
         f = os.path.join(str(tmp_path / "csv"), "20260817.csv")
         assert open(f).readline().strip() == "Timestamp;Anzahl;Kritisch"
 
+    def test_wav_replay_offset_resume(self, tmp_path):
+        from meteor_scatter_tpu.apps.monitor import (
+            OffsetJournal,
+            WavSegmentSource,
+            run_monitor,
+        )
+        from meteor_scatter_tpu.config import MonitorConfig
+        from meteor_scatter_tpu.io.wavio import write_wav
+
+        fs, seg = 5000, 30
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal(fs * seg * 3) * 0.3 * 3000).astype(np.int16)
+        p = str(tmp_path / "replay.wav")
+        write_wav(p, fs, x)
+        cfg = MonitorConfig(
+            csv_out_dir=str(tmp_path / "csv"), spec_out_dir=str(tmp_path / "spec")
+        )
+        fake_now = datetime.datetime(2026, 8, 17, 9, 0, 0)
+
+        # process one segment, "crash"
+        src = WavSegmentSource(p, cfg)
+        run_monitor(src, cfg, max_segments=1, now_fn=lambda: fake_now)
+        j = OffsetJournal(cfg.csv_out_dir, os.path.abspath(p))
+        assert j.load() == fs * seg
+
+        # resume consumes exactly the remaining two segments
+        src2 = WavSegmentSource(p, cfg, start_pos=j.load())
+        assert src2.pos == fs * seg
+        run_monitor(src2, cfg, now_fn=lambda: fake_now)
+        assert j.load() == fs * seg * 3
+
+        # a different source file must not inherit the offset
+        assert OffsetJournal(cfg.csv_out_dir, "/elsewhere.wav").load() == 0
+
 
 class TestAnalyzeApp:
     def test_proc_wav_file(self, tmp_path):
