@@ -187,6 +187,7 @@ def run_monitor(
             spec_cut_factor=cfg.spec_cut_factor,
             eps_px=cfg.cluster_epsilon,
             min_samples=cfg.cluster_min_samples,
+            keypoint_mode=cfg.keypoint_mode,
         )
         n_crit = int(bursts.n_critical)
         n_non = int(bursts.n_non_critical)
@@ -227,6 +228,9 @@ def main(argv=None) -> int:
     p.add_argument("--realtime", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="continue a WAV replay from the journaled offset")
+    p.add_argument("--keypoint-mode", choices=["threshold", "corner"],
+                   default="threshold",
+                   help="burst keypoints: above-cut pixels or Harris corners (ORB-like)")
     args = p.parse_args(argv)
 
     cfg = MonitorConfig(
@@ -234,6 +238,7 @@ def main(argv=None) -> int:
         segment_len_sec=args.segment_len,
         csv_out_dir=args.csv_out,
         spec_out_dir=args.spec_out,
+        keypoint_mode=args.keypoint_mode,
     )
     if args.wav:
         start = 0

@@ -160,6 +160,7 @@ class MonitorConfig:
     cluster_epsilon: float = 30.0  # C_MS_CLUSTER_EPSILON (px)
     cluster_min_samples: int = 5  # C_MS_CLUSTER_MIN_SAMPLES
     critical_min_width_px: float = 5.0  # detector_and_classification.py:50
+    keypoint_mode: str = "threshold"  # or "corner" (ORB-like Harris keypoints)
     noise_floor_band: Tuple[float, float] = (250.0, 800.0)  # prime_detection.py:69-71
     display_band: Tuple[float, float] = (800.0, 1200.0)  # prime_detection.py:89
     csv_out_dir: str = "csv-out"

@@ -141,16 +141,89 @@ def _connected_components(mask: jnp.ndarray) -> jnp.ndarray:
     return labels
 
 
+def render_intensity(img: SpectrogramImage, vmax: float = 40.0) -> jnp.ndarray:
+    """The grayscale image the reference detector actually sees: dB clipped
+    to [vmin, vmax] (the display window of prime_detection.py:84-85) and
+    scaled to 0..255.  Pure array op — no JPEG round trip."""
+    x = jnp.clip(img.db, img.vmin, vmax)
+    return (x - img.vmin) / jnp.maximum(vmax - img.vmin, 1e-6) * 255.0
+
+
+def corner_keypoints(
+    img: SpectrogramImage,
+    nfeatures: int = 500,
+    k: float = 0.04,
+    rel_floor: float = 1e-5,
+) -> jnp.ndarray:
+    """Corner-score keypoint mask — the ORB-like mode.
+
+    The reference runs ORB (FAST keypoints ranked by Harris response,
+    ``nfeatures=500``, `detector_and_classification.py:12-13`) on the
+    rendered JPEG.  This computes the Harris response directly on the
+    rendered-intensity array with Sobel gradients + 3×3 structure-tensor
+    smoothing (all static convolutions — XLA fuses them), keeps local
+    maxima, and caps at the strongest ``nfeatures`` via top-k exactly as
+    ORB's retention rule.  Returns a bool mask shaped like ``img.db``;
+    feed it to :func:`cluster_bursts` as ``keypoint_mask``.
+    """
+    gray = render_intensity(img)
+    h, w = gray.shape
+
+    def conv2(x, kern):
+        return jax.lax.conv_general_dilated(
+            x[None, None, :, :],
+            jnp.asarray(kern, jnp.float32)[None, None, :, :],
+            window_strides=(1, 1),
+            padding="SAME",
+        )[0, 0]
+
+    sobel_x = [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]
+    sobel_y = [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]]
+    ix = conv2(gray, sobel_x)
+    iy = conv2(gray, sobel_y)
+    box = [[1.0 / 9.0] * 3] * 3
+    sxx = conv2(ix * ix, box)
+    syy = conv2(iy * iy, box)
+    sxy = conv2(ix * iy, box)
+    r = (sxx * syy - sxy * sxy) - k * (sxx + syy) ** 2
+
+    # No non-max suppression: the raw spectrogram is ~15x coarser than the
+    # reference's interpolated 496x365 render, so NMS would collapse a whole
+    # burst blob to <5 peaks and DBSCAN's min_samples would reject it.  Like
+    # ORB's low FAST threshold, all positive corner responses above a loose
+    # relative floor are admitted; top-k retention + DBSCAN do the filtering.
+    # Corners are gated to visible (above-cut) pixels: the reference's JPEG
+    # background is uniform black, so ORB cannot fire there either — without
+    # this gate every 1-px noise speckle inflates to ~9 px of Sobel support
+    # and defeats DBSCAN's min_samples.
+    is_peak = (r > rel_floor * jnp.max(r)) & (r > 0) & (gray > 0)
+
+    # ORB retention: strongest nfeatures only (fixed shape via top-k)
+    scores = jnp.where(is_peak, r, -jnp.inf).reshape(-1)
+    nf = min(nfeatures, h * w)
+    top_vals, top_idx = jax.lax.top_k(scores, nf)
+    keep = jnp.zeros(h * w, bool).at[top_idx].set(top_vals > -jnp.inf)
+    return keep.reshape(h, w)
+
+
 def cluster_bursts(
     img: SpectrogramImage,
     eps_px: float = 30.0,
     min_samples: int = 5,
     critical_min_width_px: float = 5.0,
     cap: int = 64,
+    keypoint_mask: jnp.ndarray | None = None,
 ) -> ImageBursts:
     """DBSCAN-equivalent clustering of above-cut spectrogram pixels with the
-    reference's pixel-calibrated eps / width thresholds."""
-    mask = img.db > img.vmin  # the "keypoints": pixels visible after the cut
+    reference's pixel-calibrated eps / width thresholds.
+
+    ``keypoint_mask`` overrides the default threshold keypoints (e.g. the
+    corner-score mask from :func:`corner_keypoints` for ORB-like behavior).
+    """
+    if keypoint_mask is None:
+        mask = img.db > img.vmin  # the "keypoints": pixels visible after the cut
+    else:
+        mask = keypoint_mask
 
     # eps/2 dilation in (time, freq), converted from reference pixels
     eps_t_sec = (eps_px / 2.0) / _REF_PX_PER_SEC
@@ -222,10 +295,17 @@ def detect_and_cluster_bursts(
     eps_px: float = 30.0,
     min_samples: int = 5,
     cap: int = 64,
+    keypoint_mode: str = "threshold",
 ) -> Tuple[SpectrogramImage, ImageBursts]:
     """Segment-level entry point mirroring the reference call pair
     ``plot_spectrogram`` + ``detect_and_cluster_bursts``
-    (prime_detection.py:179-189)."""
+    (prime_detection.py:179-189).
+
+    ``keypoint_mode``: "threshold" (default — above-cut pixels) or
+    "corner" (Harris corner keypoints, the ORB-like mode)."""
     img = spectrogram_image(audio, fs, n_fft, spec_cut_factor)
-    bursts = cluster_bursts(img, eps_px=eps_px, min_samples=min_samples, cap=cap)
+    kp = corner_keypoints(img) if keypoint_mode == "corner" else None
+    bursts = cluster_bursts(
+        img, eps_px=eps_px, min_samples=min_samples, cap=cap, keypoint_mask=kp
+    )
     return img, bursts

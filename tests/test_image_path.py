@@ -9,7 +9,9 @@ import jax.numpy as jnp
 from meteor_scatter_tpu.models.image import (
     _connected_components,
     cluster_bursts,
+    corner_keypoints,
     detect_and_cluster_bursts,
+    render_intensity,
     spectrogram_image,
 )
 
@@ -95,3 +97,37 @@ class TestClusterBursts:
         b_strict = cluster_bursts(img, min_samples=5)
         assert int(b_strict.count) <= int(b_all.count)
         assert int(b_strict.count) >= 1
+
+
+class TestCornerKeypoints:
+    def test_keypoints_concentrate_on_burst(self):
+        x = segment_with_bursts([(10.0, 2.0, 1000.0, 4.0)])
+        img = spectrogram_image(jnp.asarray(x), FS)
+        kp = np.asarray(corner_keypoints(img, nfeatures=500))
+        assert kp.sum() > 0
+        assert kp.sum() <= 500  # ORB's retention cap
+        # keypoints live on/near the burst, not the quiet region
+        burst_cols = slice(int(9.5 / img.hop_sec), int(12.5 / img.hop_sec))
+        quiet_cols = slice(int(20.0 / img.hop_sec), int(29.0 / img.hop_sec))
+        assert kp[:, burst_cols].sum() > kp[:, quiet_cols].sum()
+
+    def test_corner_mode_detects_and_classifies(self):
+        x = segment_with_bursts(
+            [(5.0, 2.0, 1000.0, 4.0), (20.0, 0.4, 1100.0, 6.0)]
+        )
+        _, bursts = detect_and_cluster_bursts(jnp.asarray(x), FS, keypoint_mode="corner")
+        assert int(bursts.count) >= 1
+        assert int(bursts.n_critical) >= 1  # 2 s burst stays critical
+
+    def test_corner_mode_quiet_segment(self):
+        x = segment_with_bursts([], noise=0.2, seed=7)
+        _, bursts = detect_and_cluster_bursts(jnp.asarray(x), FS, keypoint_mode="corner")
+        # DBSCAN min_samples screens scattered noise corners
+        assert int(bursts.count) <= 1
+
+    def test_render_intensity_range(self):
+        x = segment_with_bursts([(10.0, 1.0, 1000.0, 3.0)])
+        img = spectrogram_image(jnp.asarray(x), FS)
+        g = np.asarray(render_intensity(img))
+        assert g.min() >= 0.0 and g.max() <= 255.0
+        assert g.max() > 20.0  # burst clearly above the black cut
