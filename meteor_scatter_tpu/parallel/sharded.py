@@ -288,28 +288,56 @@ def sharded_spectrogram_psd(
 ):
     """Overlapped STFT PSD with seam frames computed from a right halo —
     the distributed overlap-save of the reference's noverlap=NFFT//2
-    spectrograms.  Requires S/n_time divisible by hop.
+    spectrograms.
 
-    Returns (C, n_frames_padded, nbins) sharded (station, time, None);
-    frames beyond the global valid count ``(S - nperseg)//hop + 1`` are
-    from zero-padding at the very end of the signal.
+    Works for any hop: each shard owns the frames whose start sample falls
+    in its range.  Per-shard first-frame offsets and counts are static
+    (computed from shard size and hop at trace time); inside ``shard_map``
+    the shard picks its offset from a small table via ``axis_index`` and
+    frames a fixed-size dynamic slice of its haloed samples, so shapes stay
+    static even when counts differ by one across shards.  A final gather
+    compacts the per-shard padding away.
+
+    Returns (C, n_frames, nbins) with exactly the unsharded frame count
+    ``(S - nperseg)//hop + 1``.
     """
     if noverlap is None:
         noverlap = nperseg // 2
     hop = nperseg - noverlap
     n_time = mesh.shape[TIME_AXIS]
-    if (x.shape[-1] // n_time) % hop != 0:
+    S = x.shape[-1]
+    if S % n_time:
+        raise ValueError(f"signal length {S} must divide over {n_time} time shards")
+    s_loc = S // n_time
+    nf_global = (S - nperseg) // hop + 1
+    if nf_global <= 0:
+        raise ValueError("signal shorter than one frame")
+
+    # static per-shard bookkeeping: first global frame starting in shard k,
+    # its sample offset inside the shard, and the frame count
+    firsts = [min(-(-(k * s_loc) // hop), nf_global) for k in range(n_time)] + [nf_global]
+    nf_k = [firsts[k + 1] - firsts[k] for k in range(n_time)]
+    nf_max = max(max(nf_k), 1)
+    offs = np.asarray(
+        [firsts[k] * hop - k * s_loc for k in range(n_time)], np.int32
+    )  # ∈ [0, hop)
+    slice_len = nf_max * hop + (nperseg - hop)
+    right_halo = max(0, int(offs.max()) + slice_len - s_loc)
+    if right_halo > s_loc:
         raise ValueError(
-            f"samples per time shard ({x.shape[-1] // n_time}) must be divisible "
-            f"by hop ({hop}) so frames align with shard boundaries"
+            f"time shards too small: frame window needs a {right_halo}-sample "
+            f"halo but shards hold only {s_loc} samples"
         )
+
     win = jnp.asarray(hann_periodic(nperseg, dtype=np.float32))
     norm = float(np.sum(hann_periodic(nperseg) ** 2))
+    offs_j = jnp.asarray(offs)
 
     def local(xl):  # (C_loc, S_loc)
-        haloed = halo_exchange(xl.astype(jnp.float32), 0, nperseg - hop, TIME_AXIS)
-        nf_loc = xl.shape[-1] // hop
-        seg = frame_signal(haloed, nperseg, hop)[:, :nf_loc, :]
+        haloed = halo_exchange(xl.astype(jnp.float32), 0, right_halo, TIME_AXIS)
+        k = jax.lax.axis_index(TIME_AXIS)
+        windowed = jax.lax.dynamic_slice_in_dim(haloed, offs_j[k], slice_len, axis=-1)
+        seg = frame_signal(windowed, nperseg, hop)  # exactly nf_max frames
         seg = seg - jnp.mean(seg, -1, keepdims=True)
         X = jnp.fft.rfft(seg * win, n=nperseg, axis=-1)
         p = (X.real**2 + X.imag**2) / (fs * norm)
@@ -326,7 +354,11 @@ def sharded_spectrogram_psd(
         in_specs=P(STATION_AXIS, TIME_AXIS),
         out_specs=P(STATION_AXIS, TIME_AXIS, None),
     )
-    return fn(_place(x, mesh))
+    padded = fn(_place(x, mesh))  # (C, n_time*nf_max, nbins)
+    keep = np.concatenate(
+        [k * nf_max + np.arange(nf_k[k]) for k in range(n_time)]
+    ).astype(np.int32)
+    return jnp.take(padded, jnp.asarray(keep), axis=1)
 
 
 def sharded_fir_filter(

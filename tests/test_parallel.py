@@ -120,6 +120,21 @@ class TestShardedSpectrogram:
             got_c = np.asarray(got[c])[:nf].T  # (bins, frames)
             np.testing.assert_allclose(got_c, want, rtol=2e-3, atol=1e-9)
 
+    @pytest.mark.parametrize("nper,nov", [(511, 256), (600, 388), (2048, 1024)])
+    def test_hop_not_dividing_shards(self, mesh, nper, nov):
+        # hop ∤ 24000-sample shards: frame ownership straddles shard seams,
+        # exercising the offset-table + compaction path; frame count and
+        # values must equal the unsharded run exactly
+        x = audio(2, 16.0, seed=4)
+        got = sharded_spectrogram_psd(jnp.asarray(x), mesh, FS, nper, noverlap=nov)
+        for c in range(2):
+            _, _, want = spectrogram_scipy(jnp.asarray(x[c]), FS, nper, noverlap=nov)
+            want = np.asarray(want)
+            assert got[c].shape[0] == want.shape[1]  # exact global frame count
+            np.testing.assert_allclose(
+                np.asarray(got[c]).T, want, rtol=2e-3, atol=1e-9
+            )
+
 
 class TestShardedFIR:
     def test_equals_unsharded(self, mesh):
