@@ -89,10 +89,10 @@ def tpu_pipeline(x_np: np.ndarray):
     import jax
     import jax.numpy as jnp
 
-    from meteor_scatter_tpu.models.adaptive import adaptive_thresholds_parallel
-    from meteor_scatter_tpu.models.events import events_from_mask
+    from meteor_scatter_tpu.models.events import events_from_run_sums
     from meteor_scatter_tpu.ops.bandpower import band_projection_matrix, band_power_db
     from meteor_scatter_tpu.ops.framing import frame_signal
+    from meteor_scatter_tpu.ops.pallas.adaptive_kernel import adaptive_solver_fused
 
     M, slices = band_projection_matrix(FS, N_FFT, BLOCK, [FREQ_BAND, NOISE_BAND])
     Mj = jnp.asarray(M)
@@ -105,10 +105,10 @@ def tpu_pipeline(x_np: np.ndarray):
         frames = frame_signal(x, BLOCK, BLOCK)
         band, noise = band_power_db(frames, Mj, slices)
         delta = band - noise
-        thr, above = adaptive_thresholds_parallel(
+        thr, above, s_incl, csm = adaptive_solver_fused(
             delta, K_STD, WINDOW_BLOCKS, FREEZE_BEFORE, FREEZE_AFTER, FIXED_INIT
         )
-        ev = events_from_mask(above, delta, cap=4096)
+        ev = events_from_run_sums(s_incl, csm, above, cap=4096)
         return ev.count, thr[-1]
 
     x = jnp.asarray(x_np)

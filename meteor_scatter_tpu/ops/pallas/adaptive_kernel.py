@@ -1,0 +1,318 @@
+"""Fused adaptive-threshold solver Pallas kernel.
+
+One kernel computes everything between the delta-dB series and the event
+mask of the reference's adaptive detector (`dsp/src/main.py:450-522`):
+rolling-window mean/std prefix statistics, and the freeze-recurrence
+fixpoint of :func:`meteor_scatter_tpu.models.adaptive.adaptive_thresholds_parallel`.
+
+Why: profiled on the target chip, the XLA formulation spends ~0.7 ms in
+`jnp.cumsum` passes and ~0.5 ms across the fixpoint rounds' `cummax` /
+gather launches — pure launch/pass overhead on a 72 KB series.  Here the
+series lives in VMEM as one (rows, 128) tile-set and every prefix scan is
+log2 shift-and-combine steps on the VPU (`pltpu.roll` along lanes, then
+along sublanes for the row stage), so the entire solver is a single
+launch with zero HBM round-trips between passes.
+
+Layout: the block series is reshaped row-major to (R, 128), R a multiple
+of 8 (f32 tile = 8×128).  A flattened shift by ``s = a*128 + b`` is a
+lane roll by ``b`` with row-carry plus a sublane roll by ``a``; prefix
+scans run lanes-first then combine row totals (scan of row sums) as
+broadcast offsets.  The "threshold value of the last updatable block"
+gather is replaced by an argmax-style pair scan carrying (index, value),
+so nothing needs dynamic indexing.
+
+Capacity: everything stays in VMEM, so the series is bounded by
+~16 MB / (≈12 live f32 arrays) ≈ 256 K blocks (14 h of audio at 0.2 s
+blocks).  :func:`meteor_scatter_tpu.models.adaptive.detect_adaptive`
+falls back to the XLA solver beyond :data:`MAX_FUSED_BLOCKS`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+MAX_FUSED_BLOCKS = 131072  # (R=1024, 128) → ~12 × 512 KB live in VMEM
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ids(shape):
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return row, col, row * shape[1] + col
+
+
+def _flat_shift(x, s: int, fill):
+    """result[i] = x[i-s] over the flattened row-major array; fill for i<s."""
+    R, C = x.shape
+    if s == 0:
+        return x
+    a, b = s // C, s % C
+    y = x
+    if b:
+        _, col, _ = _ids((R, C))
+        same = pltpu.roll(x, shift=b, axis=1)
+        prev = pltpu.roll(pltpu.roll(x, shift=1, axis=0), shift=b, axis=1)
+        y = jnp.where(col >= b, same, prev)
+    if a:
+        y = pltpu.roll(y, shift=a, axis=0)
+    _, _, flat = _ids((R, C))
+    return jnp.where(flat >= s, y, fill)
+
+
+def _row_scan(t, combine, fill):
+    """Inclusive scan down the rows of a (R, k) array."""
+    R = t.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    k = 1
+    while k < R:
+        sh = jnp.where(row >= k, pltpu.roll(t, shift=k, axis=0), fill)
+        t = combine(t, sh)
+        k *= 2
+    return t
+
+
+def _prefix_flat(x, combine, fill):
+    """Inclusive prefix scan over the flattened row-major (R, 128) array."""
+    R, C = x.shape
+    _, col, _ = _ids((R, C))
+    k = 1
+    while k < C:
+        sh = jnp.where(col >= k, pltpu.roll(x, shift=k, axis=1), fill)
+        x = combine(x, sh)
+        k *= 2
+    totals = _row_scan(x[:, C - 1 : C], combine, fill)  # inclusive row totals
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    offs = jnp.where(row1 >= 1, pltpu.roll(totals, shift=1, axis=0), fill)
+    return combine(x, offs)
+
+
+def _prefix_sum_flat(x):
+    return _prefix_flat(x, jnp.add, jnp.float32(0))
+
+
+def _prefix_max_flat(x):
+    return _prefix_flat(x, jnp.maximum, jnp.int32(-1))
+
+
+def _prefix_last_flat(key, val):
+    """Prefix scan carrying the value at the largest key so far (keys are
+    block indices or -1) — the gatherless form of ``val[cummax(key)]``."""
+    R, C = key.shape
+    _, col, _ = _ids((R, C))
+
+    def step(k, v, ksh, vsh):
+        take = ksh > k
+        return jnp.where(take, ksh, k), jnp.where(take, vsh, v)
+
+    s = 1
+    while s < C:
+        inb = col >= s
+        ksh = jnp.where(inb, pltpu.roll(key, shift=s, axis=1), -1)
+        vsh = jnp.where(inb, pltpu.roll(val, shift=s, axis=1), 0.0)
+        key, val = step(key, val, ksh, vsh)
+        s *= 2
+
+    kt = key[:, C - 1 : C]
+    vt = val[:, C - 1 : C]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    s = 1
+    while s < R:
+        inb = row1 >= s
+        ksh = jnp.where(inb, pltpu.roll(kt, shift=s, axis=0), -1)
+        vsh = jnp.where(inb, pltpu.roll(vt, shift=s, axis=0), 0.0)
+        kt, vt = step(kt, vt, ksh, vsh)
+        s *= 2
+    k_off = jnp.where(row1 >= 1, pltpu.roll(kt, shift=1, axis=0), -1)
+    v_off = jnp.where(row1 >= 1, pltpu.roll(vt, shift=1, axis=0), 0.0)
+    return step(key, val, k_off, v_off)
+
+
+def _kernel(
+    delta_ref,
+    thr_ref,
+    sincl_ref,
+    csm_ref,
+    *,
+    n: int,
+    window: int,
+    freeze_before: int,
+    freeze_after: int,
+    fixed_blocks: int,
+    k_std: float,
+    max_rounds: int,
+):
+    R, C = delta_ref.shape
+    _, _, idx = _ids((R, C))
+    valid = idx < n
+    d = jnp.where(valid, delta_ref[:], 0.0)
+
+    # whole-series fixed threshold (main.py:399-400; population std)
+    n_f = jnp.float32(n)
+    g_mean = jnp.sum(d) / n_f
+    g_var = jnp.sum(d * d) / n_f - g_mean * g_mean
+    fixed_thr = g_mean + k_std * jnp.sqrt(jnp.maximum(g_var, 0.0))
+
+    # rolling stats over delta[max(0, i-W) : i) — current block excluded
+    cs = _prefix_sum_flat(d) - d  # exclusive prefix sums
+    cs2 = _prefix_sum_flat(d * d) - d * d
+    cnt = jnp.minimum(idx, window).astype(jnp.float32)
+    safe = jnp.maximum(cnt, 1.0)
+    m = (cs - _flat_shift(cs, window, jnp.float32(0))) / safe
+    m2 = (cs2 - _flat_shift(cs2, window, jnp.float32(0))) / safe
+    std = jnp.sqrt(jnp.maximum(m2 - m * m, 0.0))
+    windowed = jnp.where(cnt > 0, m + k_std * std, jnp.nan)
+
+    new_freeze = jnp.maximum(idx + freeze_after, jnp.maximum(0, idx - freeze_before))
+    in_fixed = idx < fixed_blocks
+
+    # masks are carried as i32 — Mosaic cannot legalize i1 vectors in the
+    # while-loop carry (scf.yield on vector<8x128xi1>)
+    def thresholds_from(above_i32):
+        f = jnp.where((above_i32 > 0) & valid, new_freeze, -1)
+        freeze_prev = _flat_shift(_prefix_max_flat(f), 1, jnp.int32(-1))
+        upd = (idx > freeze_prev) & jnp.logical_not(in_fixed) & valid
+        key = jnp.where(upd, idx, -1)
+        val = jnp.where(upd, windowed, fixed_thr)
+        lk, lv = _prefix_last_flat(key, val)
+        return jnp.where(in_fixed, fixed_thr, jnp.where(lk >= 0, lv, fixed_thr))
+
+    zeros_i32 = jnp.zeros_like(idx)
+    above0 = (d > thresholds_from(zeros_i32)).astype(jnp.int32)
+
+    def cond(state):
+        above, prev, rounds = state
+        return jnp.any(above != prev) & (rounds < max_rounds)
+
+    def body(state):
+        above, _, rounds = state
+        thr = thresholds_from(above)
+        return (d > thr).astype(jnp.int32), above, rounds + 1
+
+    above, _, _ = jax.lax.while_loop(cond, body, (above0, zeros_i32, jnp.int32(1)))
+    thr = thresholds_from(above)
+    thr_ref[:] = thr
+
+    # Run metadata for gather-only event extraction (events_from_run_sums):
+    # runs-started prefix count and the masked-series prefix sum.  Padding
+    # is masked out — padded delta (=0) can sit above a negative threshold
+    # and would otherwise fabricate phantom runs.
+    above_f = (d > thr) & valid
+    a_i32 = above_f.astype(jnp.int32)
+    is_start = a_i32 * (1 - _flat_shift(a_i32, 1, jnp.int32(0)))
+    sincl_ref[:] = _prefix_flat(is_start, jnp.add, jnp.int32(0))
+    csm_ref[:] = _prefix_sum_flat(jnp.where(above_f, d, 0.0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_std", "window", "freeze_before", "freeze_after",
+        "fixed_blocks", "max_rounds", "interpret",
+    ),
+)
+def _run(delta, k_std, window, freeze_before, freeze_after, fixed_blocks,
+         max_rounds, interpret):
+    n = delta.shape[0]
+    rows = max(_round_up(pl.cdiv(n, LANES), 8), 8)
+    pad = rows * LANES - n
+    d2 = jnp.pad(delta.astype(jnp.float32), (0, pad)).reshape(rows, LANES)
+    kernel = functools.partial(
+        _kernel,
+        n=n,
+        window=window,
+        freeze_before=freeze_before,
+        freeze_after=freeze_after,
+        fixed_blocks=fixed_blocks,
+        k_std=k_std,
+        max_rounds=max_rounds,
+    )
+    thr2, sincl2, csm2 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(d2)
+    thr = thr2.reshape(-1)[:n]
+    above = delta.astype(jnp.float32) > thr
+    return thr, above, sincl2.reshape(-1)[:n], csm2.reshape(-1)[:n]
+
+
+def adaptive_thresholds_fused(
+    delta: jnp.ndarray,
+    threshold_std_factor: float,
+    window_blocks: int,
+    freeze_blocks_before: int,
+    freeze_blocks_after: int,
+    fixed_threshold_blocks: int,
+    max_rounds: int | None = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in for
+    :func:`meteor_scatter_tpu.models.adaptive.adaptive_thresholds_parallel`
+    (same (thresholds, above) contract), single fused kernel.
+
+    Raises ValueError past :data:`MAX_FUSED_BLOCKS` — callers fall back to
+    the XLA solver for multi-day series.
+    """
+    thr, above, _, _ = adaptive_solver_fused(
+        delta,
+        threshold_std_factor,
+        window_blocks,
+        freeze_blocks_before,
+        freeze_blocks_after,
+        fixed_threshold_blocks,
+        max_rounds,
+        interpret,
+    )
+    return thr, above
+
+
+def adaptive_solver_fused(
+    delta: jnp.ndarray,
+    threshold_std_factor: float,
+    window_blocks: int,
+    freeze_blocks_before: int,
+    freeze_blocks_after: int,
+    fixed_threshold_blocks: int,
+    max_rounds: int | None = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full fused solver: (thresholds, above, runs_started_prefix,
+    masked_series_prefix_sum).  The last two feed
+    :func:`meteor_scatter_tpu.models.events.events_from_run_sums` so event
+    extraction needs no further full-series passes.
+    """
+    n = delta.shape[0]
+    if n > MAX_FUSED_BLOCKS:
+        raise ValueError(f"series too long for the fused kernel ({n} blocks)")
+    if max_rounds is None:
+        max_rounds = n
+    return _run(
+        delta,
+        float(threshold_std_factor),
+        int(window_blocks),
+        int(freeze_blocks_before),
+        int(freeze_blocks_after),
+        int(fixed_threshold_blocks),
+        int(max_rounds),
+        interpret,
+    )

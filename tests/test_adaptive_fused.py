@@ -1,0 +1,137 @@
+"""Fused Pallas adaptive-solver parity tests (interpret mode on CPU).
+
+The kernel must produce the exact same above-threshold mask as the XLA
+fixpoint solver (which is itself pinned bit-exact to the sequential oracle
+in test_detectors.py); thresholds agree to f32 reduction-order noise.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from meteor_scatter_tpu.models.adaptive import adaptive_thresholds_parallel
+from meteor_scatter_tpu.models.events import events_from_mask, events_from_run_sums
+from meteor_scatter_tpu.ops.pallas.adaptive_kernel import (
+    MAX_FUSED_BLOCKS,
+    adaptive_solver_fused,
+    adaptive_thresholds_fused,
+)
+
+
+def series(n, seed, n_bursts=14, amp=7.0):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal(n).astype(np.float32)
+    if n_bursts:
+        for s in np.linspace(60, n - 60, n_bursts).astype(int):
+            d[s : s + 5] += amp
+    return d
+
+
+def both(d, **kw):
+    thr_x, ab_x = adaptive_thresholds_parallel(jnp.asarray(d), **kw)
+    thr_p, ab_p = adaptive_thresholds_fused(jnp.asarray(d), interpret=True, **kw)
+    return (np.asarray(thr_x), np.asarray(ab_x)), (np.asarray(thr_p), np.asarray(ab_p))
+
+
+KW = dict(
+    threshold_std_factor=4.0,
+    window_blocks=300,
+    freeze_blocks_before=15,
+    freeze_blocks_after=100,
+    fixed_threshold_blocks=50,
+)
+
+
+class TestFusedSolver:
+    @pytest.mark.parametrize("seed,k", [(17, 4.0), (23, 3.0), (29, 2.5)])
+    def test_matches_xla_solver(self, seed, k):
+        kw = dict(KW, threshold_std_factor=k)
+        (tx, ax), (tp, ap) = both(series(4000, seed), **kw)
+        np.testing.assert_array_equal(ax, ap)
+        np.testing.assert_allclose(tp, tx, rtol=1e-4, equal_nan=True)
+
+    def test_pure_noise_marginal_crossings(self):
+        kw = dict(
+            threshold_std_factor=2.5,
+            window_blocks=200,
+            freeze_blocks_before=5,
+            freeze_blocks_after=30,
+            fixed_threshold_blocks=20,
+        )
+        (_, ax), (_, ap) = both(series(5000, 99, n_bursts=0), **kw)
+        np.testing.assert_array_equal(ax, ap)
+
+    @pytest.mark.parametrize(
+        "n,window",
+        [
+            (100, 50),  # shorter than one 128-lane row
+            (129, 200),  # window longer than the series
+            (1024, 128),  # window == exactly one row
+            (2047, 601),  # odd length, window crossing a row boundary
+        ],
+    )
+    def test_layout_edges(self, n, window):
+        kw = dict(
+            threshold_std_factor=2.0,
+            window_blocks=window,
+            freeze_blocks_before=3,
+            freeze_blocks_after=10,
+            fixed_threshold_blocks=5,
+        )
+        (_, ax), (_, ap) = both(series(n, n, n_bursts=2, amp=6.0), **kw)
+        np.testing.assert_array_equal(ax, ap)
+
+    def test_minimal_freeze_params(self):
+        kw = dict(
+            threshold_std_factor=3.0,
+            window_blocks=128,
+            freeze_blocks_before=0,
+            freeze_blocks_after=1,
+            fixed_threshold_blocks=1,
+        )
+        (_, ax), (_, ap) = both(series(1024, 3, n_bursts=6), **kw)
+        np.testing.assert_array_equal(ax, ap)
+
+    def test_capacity_guard(self):
+        with pytest.raises(ValueError):
+            adaptive_thresholds_fused(
+                jnp.zeros(MAX_FUSED_BLOCKS + 1, jnp.float32), **KW
+            )
+
+
+class TestEventsFromRunSums:
+    @pytest.mark.parametrize("seed", [17, 23])
+    def test_matches_events_from_mask(self, seed):
+        d = series(4000, seed)
+        _, above, s_incl, csm = adaptive_solver_fused(
+            jnp.asarray(d), interpret=True, **KW
+        )
+        ev_new = events_from_run_sums(s_incl, csm, above, cap=64)
+        ev_old = events_from_mask(above, jnp.asarray(d), cap=64)
+        assert int(ev_new.count) == int(ev_old.count)
+        c = int(ev_old.count)
+        np.testing.assert_array_equal(
+            np.asarray(ev_new.start)[:c], np.asarray(ev_old.start)[:c]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ev_new.stop)[:c], np.asarray(ev_old.stop)[:c]
+        )
+        np.testing.assert_allclose(
+            np.asarray(ev_new.db_mean)[:c], np.asarray(ev_old.db_mean)[:c], rtol=1e-5
+        )
+        assert bool(ev_new.overflow) == bool(ev_old.overflow)
+
+    def test_overflow_and_empty(self):
+        d = series(4000, 17)
+        _, above, s_incl, csm = adaptive_solver_fused(
+            jnp.asarray(d), interpret=True, **KW
+        )
+        n_runs = int(events_from_mask(above, jnp.asarray(d), cap=1024).count)
+        ev = events_from_run_sums(s_incl, csm, above, cap=max(n_runs - 1, 1))
+        assert bool(ev.overflow)
+        quiet = series(1000, 5, n_bursts=0) * 0.01
+        _, ab_q, s_q, c_q = adaptive_solver_fused(jnp.asarray(quiet), interpret=True, **KW)
+        ev_q = events_from_run_sums(s_q, c_q, ab_q, cap=16)
+        ev_q_ref = events_from_mask(ab_q, jnp.asarray(quiet), cap=16)
+        assert int(ev_q.count) == int(ev_q_ref.count)
