@@ -139,10 +139,10 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
     import jax
     import jax.numpy as jnp
 
-    from meteor_scatter_tpu.models.adaptive import adaptive_thresholds_parallel
-    from meteor_scatter_tpu.models.events import events_from_mask
+    from meteor_scatter_tpu.models.events import events_from_run_sums
     from meteor_scatter_tpu.ops.bandpower import band_projection_matrix, band_power_db
     from meteor_scatter_tpu.ops.framing import frame_signal
+    from meteor_scatter_tpu.ops.pallas.adaptive_kernel import adaptive_solver_fused
 
     M, slices = band_projection_matrix(FS, N_FFT, BLOCK, [FREQ_BAND, NOISE_BAND])
     Mj = jnp.asarray(M)
@@ -153,12 +153,14 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
         frames = frame_signal(x, BLOCK, BLOCK)
         band, noise = band_power_db(frames, Mj, slices)
         delta = band - noise
-        _, above = jax.vmap(
-            lambda d: adaptive_thresholds_parallel(
+        _, above, s_incl, csm = jax.vmap(
+            lambda d: adaptive_solver_fused(
                 d, K_STD, WINDOW_BLOCKS, FREEZE_BEFORE, FREEZE_AFTER, FIXED_INIT
             )
         )(delta)
-        ev = jax.vmap(lambda a, d: events_from_mask(a, d, cap=1024))(above, delta)
+        ev = jax.vmap(lambda s, c, a: events_from_run_sums(s, c, a, cap=1024))(
+            s_incl, csm, above
+        )
         return ev.count
 
     x = jnp.asarray(x_np)
