@@ -111,3 +111,24 @@ class TestChannelizer:
         assert p_own > 0.1
         p1 = np.mean(np.abs(y[1]) ** 2)
         assert p1 > 0.02  # 0.5 amplitude tone present in its own channel
+
+    def test_channelize_matches_complex_ddc(self):
+        # exact contract: channelize == float64 mix·e^{-j2πft} → FIR 'same'
+        # → decimate-by-slicing, to f32 noise
+        from meteor_scatter_tpu.ops.fir import firwin_lowpass
+
+        fs, n, bw, q, T = 48_000, 48_000, 400.0, 8, 97
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(n).astype(np.float32)
+        freqs = np.array([1000, 7777, 12000])
+        re, im = channelize(jnp.asarray(x), fs, freqs, bandwidth=bw, decim=q, numtaps=T)
+        re, im = np.asarray(re), np.asarray(im)
+        h = firwin_lowpass(T, bw / 2.0, fs)
+        t_idx = np.arange(n, dtype=np.float64)
+        for c, fc in enumerate(freqs):
+            mixed = x.astype(np.float64) * np.exp(-2j * np.pi * fc * t_idx / fs)
+            dec = np.convolve(mixed, h, mode="same")[::q]
+            nn = min(len(dec), re.shape[1])
+            scale = np.abs(dec).max()
+            assert np.abs(re[c, :nn] - dec.real[:nn]).max() / scale < 1e-5
+            assert np.abs(im[c, :nn] - dec.imag[:nn]).max() / scale < 1e-5
