@@ -194,15 +194,33 @@ def main() -> int:
     for r, o in zip(ref, ours):
         print(f"  ref {r}  ours {o}")
     ok &= match
+    all_ref = [(r[0], r[1]) for r in ref]
+    all_ours = [(o[0], o[1]) for o in ours]
 
     stream_wav = os.path.join(args.tmp, "golden_stream.wav")
     make_stream_wav(stream_wav)
     ref, ours = run_stream(args.reference_path, stream_wav)
+    all_ref += [(r[0], r[1]) for r in ref]
+    all_ours += [(o[0], o[1]) for o in ours]
     match = ref == ours
     print(f"STREAM: reference={len(ref)} ours={len(ours)} match={match}")
     for r, o in zip(ref, ours):
         print(f"  ref {r}  ours {o}")
     ok &= match
+
+    # detection F1 vs the reference event lists (BASELINE.json primary
+    # metric): an event counts as a true positive when its [start, stop)
+    # overlaps a reference event
+    tp = sum(
+        1
+        for o in all_ours
+        if any(o[0] < r[1] and r[0] < o[1] for r in all_ref)
+    )
+    prec = tp / len(all_ours) if all_ours else 1.0
+    rec = tp / len(all_ref) if all_ref else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    print(f"F1 vs reference detections: {f1:.4f} "
+          f"(precision {prec:.4f}, recall {rec:.4f}, {tp}/{len(all_ref)} events)")
 
     print("GOLDEN VALIDATION:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
