@@ -280,22 +280,68 @@ def detect_adaptive(
         fixed_threshold_blocks=int(threshold_fixed_init_duration_sec / bd),
     )
     if impl == "auto":
-        from meteor_scatter_tpu.ops.pallas.adaptive_kernel import MAX_FUSED_BLOCKS
-
-        impl = (
-            "fused"
-            if jax.default_backend() not in ("cpu",) and delta.shape[0] <= MAX_FUSED_BLOCKS
-            else "parallel"
-        )
+        impl = "fused" if jax.default_backend() not in ("cpu",) else "parallel"
     if impl == "fused":
-        from meteor_scatter_tpu.models.events import events_from_run_sums
-        from meteor_scatter_tpu.ops.pallas.adaptive_kernel import adaptive_solver_fused
-
-        thresholds, above, s_incl, csm = adaptive_solver_fused(
-            delta, interpret=jax.default_backend() == "cpu", **kw
+        events, thresholds = _detect_adaptive_fused(
+            delta, cap, interpret=jax.default_backend() == "cpu", **kw
         )
-        events = events_from_run_sums(s_incl, csm, above, cap)
     else:
         thresholds, above = adaptive_thresholds_parallel(delta, **kw)
         events = events_from_mask(above, delta, cap)
     return events, thresholds
+
+
+def _detect_adaptive_fused(delta, cap, interpret, **kw):
+    """Fused-kernel detection for any series length: one kernel launch when
+    the series fits VMEM, otherwise exact chunked execution — each chunk
+    gets a ``window_blocks`` delta halo (its rolling-statistics history),
+    the carried freeze horizon / standing threshold, and the whole-series
+    fixed threshold; seam-spanning runs merge via ``merge_adjacent``."""
+    from meteor_scatter_tpu.models.events import events_from_run_sums, merge_adjacent
+    from meteor_scatter_tpu.ops.pallas.adaptive_kernel import (
+        MAX_FUSED_BLOCKS,
+        adaptive_solver_fused,
+        adaptive_solver_fused_chunk,
+    )
+
+    n = delta.shape[0]
+    if n <= MAX_FUSED_BLOCKS:
+        thresholds, above, s_incl, csm = adaptive_solver_fused(
+            delta, interpret=interpret, **kw
+        )
+        return events_from_run_sums(s_incl, csm, above, cap), thresholds
+
+    k = kw["threshold_std_factor"]
+    w = kw["window_blocks"]
+    fa = kw["freeze_blocks_after"]
+    fb = kw["freeze_blocks_before"]
+    fixed_thr = jnp.mean(delta) + k * jnp.std(delta)  # whole-file, two-pass
+    chunk = MAX_FUSED_BLOCKS - w
+
+    events = None
+    thr_parts = []
+    freeze_in = jnp.asarray(-1, jnp.int32)
+    thr_in = fixed_thr
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        halo = w if c0 else 0
+        thr_c, above_c, s_c, cs_c = adaptive_solver_fused_chunk(
+            jax.lax.slice_in_dim(delta, c0 - halo, c1),
+            c0,
+            freeze_in,
+            fixed_thr,
+            thr_in,
+            halo,
+            interpret=interpret,
+            **kw,
+        )
+        ev_c = events_from_run_sums(s_c, cs_c, above_c, cap)
+        events = ev_c if events is None else merge_adjacent(events, ev_c, c0)
+        thr_parts.append(thr_c)
+        ii = jnp.arange(c0, c1, dtype=jnp.int32)
+        f_c = jnp.where(
+            above_c, jnp.maximum(ii + fa, jnp.maximum(0, ii - fb)), -1
+        )
+        freeze_in = jnp.maximum(freeze_in, jnp.max(f_c))
+        thr_in = thr_c[-1]
+    return events, jnp.concatenate(thr_parts)

@@ -139,11 +139,14 @@ def _prefix_last_flat(key, val):
 
 def _kernel(
     delta_ref,
+    carry_i_ref,  # SMEM (2,): [i0 (absolute index of first main block), freeze_until_in]
+    carry_f_ref,  # SMEM (2,): [fixed_thr, thr_in (threshold carried into the chunk)]
     thr_ref,
     sincl_ref,
     csm_ref,
     *,
     n: int,
+    halo: int,
     window: int,
     freeze_before: int,
     freeze_after: int,
@@ -151,40 +154,53 @@ def _kernel(
     k_std: float,
     max_rounds: int,
 ):
+    """One chunk: positions [0, halo) are history-only (their crossings are
+    already folded into the carry), [halo, halo+n) are solved.  For a
+    whole-series call: halo=0, i0=0, freeze_in=-1, thr_in=fixed_thr."""
     R, C = delta_ref.shape
     _, _, idx = _ids((R, C))
-    valid = idx < n
-    d = jnp.where(valid, delta_ref[:], 0.0)
+    i0 = carry_i_ref[0]
+    freeze_in = carry_i_ref[1]
+    fixed_thr = carry_f_ref[0]
+    thr_in = carry_f_ref[1]
+    total = halo + n
+    in_buf = idx < total  # halo + main (stats); excludes padding
+    valid = (idx >= halo) & in_buf  # main region (solved)
+    iabs = idx - halo + i0  # absolute block index of main positions
+    d = jnp.where(in_buf, delta_ref[:], 0.0)
 
-    # whole-series fixed threshold (main.py:399-400; population std)
-    n_f = jnp.float32(n)
-    g_mean = jnp.sum(d) / n_f
-    g_var = jnp.sum(d * d) / n_f - g_mean * g_mean
-    fixed_thr = g_mean + k_std * jnp.sqrt(jnp.maximum(g_var, 0.0))
-
-    # rolling stats over delta[max(0, i-W) : i) — current block excluded
+    # rolling stats over delta[max(0, i-W) : i) — current block excluded.
+    # The halo IS the window history, so local prefix differences equal the
+    # absolute-series window whenever halo >= min(i_abs, W).
     cs = _prefix_sum_flat(d) - d  # exclusive prefix sums
     cs2 = _prefix_sum_flat(d * d) - d * d
-    cnt = jnp.minimum(idx, window).astype(jnp.float32)
+    # callers guarantee halo == 0 (first chunk, i0 == 0) or halo == window,
+    # so the static-W shifted prefix covers exactly the absolute window and
+    # the element count is min(i_abs, W)
+    cnt = jnp.minimum(iabs, window).astype(jnp.float32)
     safe = jnp.maximum(cnt, 1.0)
     m = (cs - _flat_shift(cs, window, jnp.float32(0))) / safe
     m2 = (cs2 - _flat_shift(cs2, window, jnp.float32(0))) / safe
     std = jnp.sqrt(jnp.maximum(m2 - m * m, 0.0))
     windowed = jnp.where(cnt > 0, m + k_std * std, jnp.nan)
 
-    new_freeze = jnp.maximum(idx + freeze_after, jnp.maximum(0, idx - freeze_before))
-    in_fixed = idx < fixed_blocks
+    new_freeze = jnp.maximum(iabs + freeze_after, jnp.maximum(0, iabs - freeze_before))
+    in_fixed = iabs < fixed_blocks
 
     # masks are carried as i32 — Mosaic cannot legalize i1 vectors in the
     # while-loop carry (scf.yield on vector<8x128xi1>)
     def thresholds_from(above_i32):
         f = jnp.where((above_i32 > 0) & valid, new_freeze, -1)
-        freeze_prev = _flat_shift(_prefix_max_flat(f), 1, jnp.int32(-1))
-        upd = (idx > freeze_prev) & jnp.logical_not(in_fixed) & valid
+        # seed with the carried freeze horizon from previous chunks
+        freeze_prev = jnp.maximum(
+            _flat_shift(_prefix_max_flat(f), 1, jnp.int32(-1)), freeze_in
+        )
+        upd = (iabs > freeze_prev) & jnp.logical_not(in_fixed) & valid
         key = jnp.where(upd, idx, -1)
         val = jnp.where(upd, windowed, fixed_thr)
         lk, lv = _prefix_last_flat(key, val)
-        return jnp.where(in_fixed, fixed_thr, jnp.where(lk >= 0, lv, fixed_thr))
+        # nothing updatable yet in this chunk → the carried-in threshold
+        return jnp.where(in_fixed, fixed_thr, jnp.where(lk >= 0, lv, thr_in))
 
     zeros_i32 = jnp.zeros_like(idx)
     above0 = (d > thresholds_from(zeros_i32)).astype(jnp.int32)
@@ -203,9 +219,9 @@ def _kernel(
     thr_ref[:] = thr
 
     # Run metadata for gather-only event extraction (events_from_run_sums):
-    # runs-started prefix count and the masked-series prefix sum.  Padding
-    # is masked out — padded delta (=0) can sit above a negative threshold
-    # and would otherwise fabricate phantom runs.
+    # runs-started prefix count and the masked-series prefix sum.  Halo and
+    # padding are masked out — padded delta (=0) can sit above a negative
+    # threshold and would otherwise fabricate phantom runs.
     above_f = (d > thr) & valid
     a_i32 = above_f.astype(jnp.int32)
     is_start = a_i32 * (1 - _flat_shift(a_i32, 1, jnp.int32(0)))
@@ -216,19 +232,27 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_std", "window", "freeze_before", "freeze_after",
+        "halo", "k_std", "window", "freeze_before", "freeze_after",
         "fixed_blocks", "max_rounds", "interpret",
     ),
 )
-def _run(delta, k_std, window, freeze_before, freeze_after, fixed_blocks,
-         max_rounds, interpret):
-    n = delta.shape[0]
-    rows = max(_round_up(pl.cdiv(n, LANES), 8), 8)
-    pad = rows * LANES - n
-    d2 = jnp.pad(delta.astype(jnp.float32), (0, pad)).reshape(rows, LANES)
+def _run(delta_haloed, i0, freeze_in, fixed_thr, thr_in, halo, k_std, window,
+         freeze_before, freeze_after, fixed_blocks, max_rounds, interpret):
+    n = delta_haloed.shape[0] - halo
+    total = halo + n
+    rows = max(_round_up(pl.cdiv(total, LANES), 8), 8)
+    pad = rows * LANES - total
+    d2 = jnp.pad(delta_haloed.astype(jnp.float32), (0, pad)).reshape(rows, LANES)
+    carry_i = jnp.stack(
+        [jnp.asarray(i0, jnp.int32), jnp.asarray(freeze_in, jnp.int32)]
+    )
+    carry_f = jnp.stack(
+        [jnp.asarray(fixed_thr, jnp.float32), jnp.asarray(thr_in, jnp.float32)]
+    )
     kernel = functools.partial(
         _kernel,
         n=n,
+        halo=halo,
         window=window,
         freeze_before=freeze_before,
         freeze_after=freeze_after,
@@ -243,17 +267,23 @@ def _run(delta, k_std, window, freeze_before, freeze_after, fixed_blocks,
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(d2)
-    thr = thr2.reshape(-1)[:n]
-    above = delta.astype(jnp.float32) > thr
-    return thr, above, sincl2.reshape(-1)[:n], csm2.reshape(-1)[:n]
+    )(d2, carry_i, carry_f)
+    thr = thr2.reshape(-1)[halo:total]
+    above = delta_haloed[halo:].astype(jnp.float32) > thr
+    # run counts/sums are zero over the halo by construction, so the main
+    # slice is directly consumable by events_from_run_sums
+    return thr, above, sincl2.reshape(-1)[halo:total], csm2.reshape(-1)[halo:total]
 
 
 def adaptive_thresholds_fused(
@@ -306,8 +336,63 @@ def adaptive_solver_fused(
         raise ValueError(f"series too long for the fused kernel ({n} blocks)")
     if max_rounds is None:
         max_rounds = n
+    fixed_thr = jnp.mean(delta) + threshold_std_factor * jnp.std(delta)
     return _run(
         delta,
+        0,
+        -1,
+        fixed_thr,
+        fixed_thr,
+        0,
+        float(threshold_std_factor),
+        int(window_blocks),
+        int(freeze_blocks_before),
+        int(freeze_blocks_after),
+        int(fixed_threshold_blocks),
+        int(max_rounds),
+        interpret,
+    )
+
+
+def adaptive_solver_fused_chunk(
+    delta_haloed: jnp.ndarray,
+    i0,
+    freeze_until_in,
+    fixed_thr,
+    thr_in,
+    halo: int,
+    threshold_std_factor: float,
+    window_blocks: int,
+    freeze_blocks_before: int,
+    freeze_blocks_after: int,
+    fixed_threshold_blocks: int,
+    max_rounds: int | None = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One chunk of an exact chunked run over an arbitrarily long series.
+
+    ``delta_haloed`` = ``window_blocks`` history blocks (``halo`` of them;
+    0 for the first chunk) followed by the chunk's blocks; ``i0`` is the
+    absolute index of the first solved block; ``freeze_until_in`` /
+    ``thr_in`` carry the freeze horizon and the standing threshold from
+    previous chunks; ``fixed_thr`` is the whole-series fixed threshold
+    (the reference computes it over the full file, main.py:399-400).
+    Returns (thr, above, s_incl, csm) for the solved region only — run
+    indices are chunk-local, so seam-spanning runs merge via
+    ``models.events.merge_adjacent`` with ``right_offset=i0``.
+    """
+    n = delta_haloed.shape[0]
+    if n > MAX_FUSED_BLOCKS:
+        raise ValueError(f"chunk too long for the fused kernel ({n} blocks)")
+    if max_rounds is None:
+        max_rounds = n
+    return _run(
+        delta_haloed,
+        i0,
+        freeze_until_in,
+        fixed_thr,
+        thr_in,
+        int(halo),
         float(threshold_std_factor),
         int(window_blocks),
         int(freeze_blocks_before),

@@ -100,6 +100,55 @@ class TestFusedSolver:
             )
 
 
+class TestChunkedFused:
+    """Exact chunked execution for series beyond the VMEM capacity
+    (MAX_FUSED_BLOCKS shrunk via monkeypatch so chunking kicks in)."""
+
+    def run_chunked(self, d, monkeypatch, cap=64, limit=1500, **kw):
+        import meteor_scatter_tpu.ops.pallas.adaptive_kernel as ak
+        from meteor_scatter_tpu.models.adaptive import _detect_adaptive_fused
+
+        monkeypatch.setattr(ak, "MAX_FUSED_BLOCKS", limit)
+        return _detect_adaptive_fused(jnp.asarray(d), cap=cap, interpret=True, **kw)
+
+    def test_matches_unchunked(self, monkeypatch):
+        kw = dict(KW, threshold_std_factor=3.0)
+        d = series(5000, 7, n_bursts=18)
+        thr_x, ab_x = adaptive_thresholds_parallel(jnp.asarray(d), **kw)
+        ev_x = events_from_mask(ab_x, jnp.asarray(d), cap=64)
+        ev_c, thr_c = self.run_chunked(d, monkeypatch, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(ab_x), np.asarray(jnp.asarray(d) > thr_c)
+        )
+        np.testing.assert_allclose(
+            np.asarray(thr_c), np.asarray(thr_x), rtol=1e-4, equal_nan=True
+        )
+        c = int(ev_x.count)
+        assert int(ev_c.count) == c
+        np.testing.assert_array_equal(np.asarray(ev_c.start)[:c], np.asarray(ev_x.start)[:c])
+        np.testing.assert_array_equal(np.asarray(ev_c.stop)[:c], np.asarray(ev_x.stop)[:c])
+        np.testing.assert_allclose(
+            np.asarray(ev_c.db_mean)[:c], np.asarray(ev_x.db_mean)[:c], rtol=1e-4
+        )
+
+    def test_run_straddling_chunk_seam(self, monkeypatch):
+        # chunk = limit - window = 1200; put a strong run across block 1200
+        kw = dict(KW, threshold_std_factor=3.0)
+        d = series(3000, 11, n_bursts=0)
+        d[1195:1210] += 9.0
+        d[400:404] += 9.0
+        thr_x, ab_x = adaptive_thresholds_parallel(jnp.asarray(d), **kw)
+        ev_x = events_from_mask(ab_x, jnp.asarray(d), cap=16)
+        ev_c, thr_c = self.run_chunked(d, monkeypatch, cap=16, **kw)
+        c = int(ev_x.count)
+        assert int(ev_c.count) == c
+        np.testing.assert_array_equal(np.asarray(ev_c.start)[:c], np.asarray(ev_x.start)[:c])
+        np.testing.assert_array_equal(np.asarray(ev_c.stop)[:c], np.asarray(ev_x.stop)[:c])
+        # the straddling run must appear exactly once, merged
+        starts = np.asarray(ev_c.start)[:c]
+        assert (starts == 1195).sum() == 1
+
+
 class TestEventsFromRunSums:
     @pytest.mark.parametrize("seed", [17, 23])
     def test_matches_events_from_mask(self, seed):
