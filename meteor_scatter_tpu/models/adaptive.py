@@ -266,10 +266,10 @@ def detect_adaptive(
     Block→seconds conversion (`main.py:503-505`): t_start = start·bd,
     t_stop = (last+1)·bd, dB mean over [start, last+1).
 
-    ``impl``: "parallel" (XLA fixpoint solver), "fused" (single Pallas
-    kernel — ~5x faster on TPU, same above-mask, thresholds within f32
-    reduction-order noise), or "auto" (fused on TPU when the series fits
-    in VMEM, parallel otherwise).
+    ``impl``: "parallel" (XLA fixpoint solver), "fused" (Pallas kernel —
+    ~6x faster on TPU, same above-mask, thresholds within f32
+    reduction-order noise; series beyond VMEM run as exact sequential
+    chunks), or "auto" (fused on TPU, parallel on CPU).
     """
     bd = block_duration_sec
     kw = dict(

@@ -21,10 +21,13 @@ broadcast offsets.  The "threshold value of the last updatable block"
 gather is replaced by an argmax-style pair scan carrying (index, value),
 so nothing needs dynamic indexing.
 
-Capacity: everything stays in VMEM, so the series is bounded by
-~16 MB / (≈12 live f32 arrays) ≈ 256 K blocks (14 h of audio at 0.2 s
-blocks).  :func:`meteor_scatter_tpu.models.adaptive.detect_adaptive`
-falls back to the XLA solver beyond :data:`MAX_FUSED_BLOCKS`.
+Capacity: everything stays in VMEM, so one launch is bounded by
+:data:`MAX_FUSED_BLOCKS`.  Longer series run as exact sequential chunks
+(:func:`adaptive_solver_fused_chunk`): each chunk carries the freeze
+horizon + standing threshold in SMEM scalars and a window-sized delta
+halo for the rolling statistics, so a 24 h file is 4 launches with
+results identical to the whole-series solution
+(`meteor_scatter_tpu.models.adaptive._detect_adaptive_fused`).
 """
 
 from __future__ import annotations
@@ -300,8 +303,8 @@ def adaptive_thresholds_fused(
     :func:`meteor_scatter_tpu.models.adaptive.adaptive_thresholds_parallel`
     (same (thresholds, above) contract), single fused kernel.
 
-    Raises ValueError past :data:`MAX_FUSED_BLOCKS` — callers fall back to
-    the XLA solver for multi-day series.
+    Raises ValueError past :data:`MAX_FUSED_BLOCKS` — longer series go
+    through the exact chunked driver in ``models.adaptive``.
     """
     thr, above, _, _ = adaptive_solver_fused(
         delta,
