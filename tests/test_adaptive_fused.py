@@ -93,6 +93,25 @@ class TestFusedSolver:
         (_, ax), (_, ap) = both(series(1024, 3, n_bursts=6), **kw)
         np.testing.assert_array_equal(ax, ap)
 
+    def test_randomized_parameter_sweep(self):
+        # differential fuzz: random parameter draws must keep the fused
+        # kernel bit-equal to the XLA solver on the above mask
+        rng = np.random.default_rng(2026)
+        for trial in range(6):
+            n = int(rng.integers(300, 3000))
+            kw = dict(
+                threshold_std_factor=float(rng.uniform(1.5, 5.0)),
+                window_blocks=int(rng.integers(16, max(n // 2, 17))),
+                freeze_blocks_before=int(rng.integers(0, 30)),
+                freeze_blocks_after=int(rng.integers(1, 200)),
+                fixed_threshold_blocks=int(rng.integers(1, 100)),
+            )
+            d = rng.standard_normal(n).astype(np.float32)
+            for s in rng.integers(10, n - 10, size=rng.integers(0, 12)):
+                d[s : s + int(rng.integers(1, 8))] += float(rng.uniform(4, 10))
+            (_, ax), (_, ap) = both(d, **kw)
+            np.testing.assert_array_equal(ax, ap, err_msg=f"trial {trial} kw={kw}")
+
     def test_capacity_guard(self):
         with pytest.raises(ValueError):
             adaptive_thresholds_fused(
