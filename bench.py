@@ -180,6 +180,60 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
     return x_np.size / dt
 
 
+def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
+    """Wideband channelizer throughput (BASELINE config 4 front half):
+    real 1 MS/s capture → n_stations complex basebands @ ~6 kHz.
+    Returns input samples/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from meteor_scatter_tpu.ops.fir import channelize
+
+    fs = 1_000_000
+    n = int(fs * seconds)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    centers = np.asarray([49_970 + 1000 * c for c in range(n_stations)])
+
+    @jax.jit
+    def run(xj):
+        re, im = channelize(xj, fs, centers, bandwidth=200.0, decim=166, numtaps=257)
+        return re.sum() + im.sum()
+
+    np.asarray(run(x))
+
+    def chained(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = run(x)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    t1 = min(chained(1) for _ in range(2))
+    tk = min(chained(6) for _ in range(2))
+    dt = max((tk - t1) / 5.0, 1e-9)
+    return n / dt
+
+
+def maybe_profile(argv):
+    """`--profile <dir>` wraps the timed section in a jax.profiler trace
+    (SURVEY.md §5 tracing; viewable with tensorboard/xprof).  Degrades to a
+    warning when the backend can't trace (tunneled-compile setups)."""
+    import contextlib
+
+    if "--profile" not in argv:
+        return contextlib.nullcontext()
+    out = argv[argv.index("--profile") + 1]
+    import jax
+
+    try:
+        return jax.profiler.trace(out)
+    except Exception as e:  # noqa: BLE001
+        print(f"# profiler unavailable: {e}", file=sys.stderr)
+        return contextlib.nullcontext()
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
     tpu_secs = 300.0 if quick else TPU_SECONDS
@@ -191,7 +245,8 @@ def main() -> int:
           file=sys.stderr)
 
     x = synth_audio(tpu_secs, seed=2)
-    sps, dt = tpu_pipeline(x)
+    with maybe_profile(sys.argv):
+        sps, dt = tpu_pipeline(x)
     print(f"# tpu: {len(x):,} samples in {dt * 1e3:.2f} ms -> {sps:,.0f} samples/s",
           file=sys.stderr)
 
@@ -206,6 +261,15 @@ def main() -> int:
                   f"({mc_sps / base_sps:.0f}x baseline)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — secondary metric must not break the bench
             print(f"# tpu 8-channel metric skipped: {e}", file=sys.stderr)
+
+    # secondary metric (stderr only, opt-in): wideband channelizer
+    if "--frontend" in sys.argv:
+        try:
+            fe_sps = frontend_pipeline()
+            print(f"# tpu channelizer (8ch @ 1 MS/s): {fe_sps / 1e9:.2f} G input samples/s",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# tpu channelizer metric skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(
