@@ -245,6 +245,33 @@ def stream_step(cfg: StreamConfig, state: StreamState, events: StreamEvents, ove
     return new_state, events, thr
 
 
+def _ring_base_thresholds(ring, i0, on, w: int, k_std, dtype):
+    """Per-block rolling threshold, bit-compatible with the in-scan ring.
+
+    The scan's reduction sums the ring in *physical slot order*; slot j just
+    before absolute step i holds the value at block ``k = i-w + ((j-i) mod
+    w)``, so the whole trailing-window matrix is one gather over
+    ``concat(previous-ring-in-absolute-order, chunk)`` and the reduction
+    order (j = 0..w-1) is preserved exactly.
+    """
+    n = on.shape[0]
+    ks = i0 - w + jnp.arange(w)
+    prev_vals = ring[jnp.mod(ks, w)]  # value at absolute block k (zeros if unwritten)
+    ext = jnp.concatenate([prev_vals, on.astype(dtype)])
+
+    i_abs = i0 + jnp.arange(n)[:, None]
+    j = jnp.arange(w)[None, :]
+    k = i_abs - w + jnp.mod(j - i_abs, w)
+    v = ext[k - (i0 - w)]
+    cnt = jnp.minimum(i_abs[:, 0], w)
+    valid = j < cnt[:, None]
+    cnt_f = jnp.maximum(cnt, 1).astype(dtype)
+    m = jnp.sum(jnp.where(valid, v, 0), axis=1) / cnt_f
+    m2 = jnp.sum(jnp.where(valid, v * v, 0), axis=1) / cnt_f
+    std = jnp.sqrt(jnp.maximum(m2 - m * m, 0))
+    return jnp.where(cnt > 0, m + k_std * std, jnp.nan), ext
+
+
 def stream_process(
     cfg: DetectionConfig,
     state: StreamState,
@@ -258,10 +285,19 @@ def stream_process(
     scan.  Returns (new_state, events_found_in_chunk, diagnostics) where
     diagnostics carries the per-block series the live UI plots
     (over_noise, threshold, band dBs, psd waterfall).
+
+    The scan is restructured for TPU relative to :func:`stream_step` (which
+    stays as the reference formulation): the O(avg_win) rolling-window
+    reduction is hoisted out as a batched gather+sum with the identical
+    summation order, and event emission becomes per-step *outputs*
+    compacted afterwards, so the carry is pure scalars.  Equality with the
+    stream_step scan is pinned in tests.
     """
     scfg = StreamConfig.from_config(cfg)
     block = int(round(cfg.proc_block_sec * fs))
     n_blocks = samples.shape[-1] // block
+    if n_blocks == 0:
+        return state, _empty_events(scfg.cap, jnp.float32), {}
     x = samples[..., : n_blocks * block].reshape(n_blocks, block)
 
     psd = welch_psd(x, fs, cfg.n_fft, nperseg=cfg.welch_nperseg)
@@ -274,16 +310,142 @@ def stream_process(
     over_noise = ms_db - (n1_db + n2_db) / 2.0
     psd_db_mean = jnp.mean(psd_db, axis=-1)
 
-    events0 = _empty_events(scfg.cap, over_noise.dtype)
+    dtype = over_noise.dtype
+    w = scfg.avg_win
+    bs = jnp.asarray(scfg.block_sec, dtype)
+    base_thr, ext = _ring_base_thresholds(
+        state.ring, state.block_idx, over_noise, w, scfg.k_std, dtype
+    )
 
     def body(carry, inp):
-        st, ev = carry
-        on, pm = inp
-        st, ev, thr = stream_step(scfg, st, ev, on, pm)
-        return (st, ev), thr
+        (st_state, locked, use_until, tstart, trc, trs, trss, trmn, trmx,
+         isum, icnt, pinit, i) = carry
+        on, pm, bt = inp
+        t_start = i.astype(dtype) * bs
+        t_end = (i + 1).astype(dtype) * bs
 
-    (state, events), thresholds = jax.lax.scan(
-        body, (state, events0), (over_noise, psd_db_mean)
+        thr = jnp.where(
+            st_state == TRACK,
+            locked,
+            jnp.where((st_state == DETECT) & (use_until > t_end), locked, bt),
+        )
+
+        new_isum = isum + pm
+        new_icnt = icnt + 1
+        init_done = t_start >= scfg.init_wait_sec
+        pinit_new = new_isum / jnp.maximum(new_icnt, 1).astype(dtype)
+
+        enter_track = on > thr
+        n_trc = trc + 1
+        n_trs = trs + on
+        n_trss = trss + on * on
+        n_trmn = jnp.minimum(trmn, on)
+        n_trmx = jnp.maximum(trmx, on)
+        leave_track = on < thr
+
+        dur = t_start - tstart
+        h_cnt = jnp.maximum(n_trc, 1).astype(dtype)
+        h_mean = n_trs / h_cnt
+        h_std = jnp.sqrt(jnp.maximum(n_trss / h_cnt - h_mean * h_mean, 0))
+        accept = (h_mean >= scfg.min_mean_db) & (dur >= scfg.min_dur_sec)
+
+        is_init = st_state == INIT
+        is_detect = st_state == DETECT
+        is_track = st_state == TRACK
+        emit = is_track & leave_track & accept
+
+        next_state = jnp.where(
+            is_init,
+            jnp.where(init_done, DETECT, INIT),
+            jnp.where(
+                is_detect,
+                jnp.where(enter_track, TRACK, DETECT),
+                jnp.where(leave_track, DETECT, TRACK),
+            ),
+        ).astype(jnp.int32)
+
+        start_track = is_detect & enter_track
+        new_carry = (
+            next_state,
+            jnp.where(start_track, thr, locked),
+            jnp.where(is_track & leave_track, t_start + scfg.after_wait_sec, use_until),
+            jnp.where(start_track, t_start, tstart),
+            jnp.where(start_track, 0, jnp.where(is_track, n_trc, trc)),
+            jnp.where(start_track, 0.0, jnp.where(is_track, n_trs, trs)),
+            jnp.where(start_track, 0.0, jnp.where(is_track, n_trss, trss)),
+            jnp.where(start_track, jnp.inf, jnp.where(is_track, n_trmn, trmn)),
+            jnp.where(start_track, -jnp.inf, jnp.where(is_track, n_trmx, trmx)),
+            jnp.where(is_init, new_isum, isum),
+            jnp.where(is_init, new_icnt, icnt),
+            jnp.where(is_init & init_done, pinit_new, pinit),
+            i + 1,
+        )
+        out = (thr, emit, tstart, t_start, dur, n_trmn, n_trmx, h_mean, h_std)
+        return new_carry, out
+
+    carry0 = (
+        state.state, state.locked_threshold, state.use_locked_until,
+        state.track_start_sec, state.tr_count, state.tr_sum, state.tr_sumsq,
+        state.tr_min, state.tr_max, state.init_sum, state.init_count,
+        state.psd_db_mean_from_init, state.block_idx,
+    )
+    # unroll amortizes the TPU sequential-loop overhead (~µs/step) over 16
+    # steps of pure scalar work; semantics are unchanged.  CPU keeps
+    # unroll=1 — the 16x body inflates this box's compile time far more
+    # than it saves at test scale.
+    unroll = 16 if jax.default_backend() != "cpu" else 1
+    carry, outs = jax.lax.scan(
+        body, carry0, (over_noise, psd_db_mean, base_thr), unroll=unroll
+    )
+    (thresholds, emit, e_start, e_stop, e_dur, e_min, e_max, e_mean, e_std) = outs
+
+    # compact emitted events into the fixed-cap buffer (order preserved)
+    cap = scfg.cap
+    c = jnp.cumsum(emit.astype(jnp.int32))
+    num = c[-1]
+    slot = jnp.searchsorted(c, jnp.arange(cap, dtype=jnp.int32) + 1, side="left")
+    slot_c = jnp.minimum(slot, max(n_blocks - 1, 0))
+    valid = jnp.arange(cap) < num
+
+    def pick(arr):
+        return jnp.where(valid, arr[slot_c], 0)
+
+    events = StreamEvents(
+        time_start=pick(e_start),
+        time_stop=pick(e_stop),
+        duration=pick(e_dur),
+        db_min=pick(e_min),
+        db_max=pick(e_max),
+        db_mean=pick(e_mean),
+        db_std=pick(e_std),
+        count=num,  # like the in-scan form: total emitted, even past cap
+        overflow=num > cap,
+    )
+
+    # final ring: slot s holds the value at the largest written block k with
+    # k ≡ s (mod w) — one gather over the extended series
+    i_end = state.block_idx + n_blocks
+    s = jnp.arange(w)
+    k_last = i_end - w + jnp.mod(s - i_end, w)
+    ring = ext[k_last - (state.block_idx - w)].astype(state.ring.dtype)
+
+    (st_state, locked, use_until, tstart, trc, trs, trss, trmn, trmx,
+     isum, icnt, pinit, i_final) = carry
+    state = StreamState(
+        state=st_state,
+        block_idx=i_final,
+        ring=ring,
+        locked_threshold=locked,
+        use_locked_until=use_until,
+        track_start_sec=tstart,
+        tr_count=trc,
+        tr_sum=trs,
+        tr_sumsq=trss,
+        tr_min=trmn,
+        tr_max=trmx,
+        init_sum=isum,
+        init_count=icnt,
+        psd_db_mean_from_init=pinit,
     )
 
     diags = {

@@ -50,3 +50,75 @@ def test_chunk_size_invariance():
     tiny = collect(cfg, fs, x, chunk_blocks=10)  # 2 s chunks
     assert len(big) >= 2
     assert big == small == tiny
+
+
+class TestProcessMatchesStepScan:
+    """The restructured stream_process (hoisted rolling stats, output-based
+    event emission) must equal a plain scan of stream_step — the oracle-
+    pinned reference formulation — on the same audio."""
+
+    def test_equal_to_reference_formulation(self):
+        import jax
+        import jax.numpy as jnp
+
+        from meteor_scatter_tpu.models.streaming import (
+            StreamConfig,
+            _empty_events,
+            stream_init,
+            stream_process,
+            stream_step,
+        )
+        from meteor_scatter_tpu.ops.welch import band_sum_db, welch_freqs, welch_psd
+
+        fs = 4000
+        cfg = DetectionConfig(
+            signal_freq=1000,
+            detection_db_over_noise_mean_min=1,
+            detection_dur_min_sec=0.5,
+        )
+        scfg = StreamConfig.from_config(cfg)
+        x = make_audio(fs)
+
+        st_new, ev_new, diags = stream_process(cfg, stream_init(scfg), jnp.asarray(x), fs)
+
+        # reference formulation on the identical per-block series
+        block = int(cfg.proc_block_sec * fs)
+        nb = len(x) // block
+        xx = jnp.asarray(x[: nb * block]).reshape(nb, block)
+        psd = welch_psd(xx, fs, cfg.n_fft, nperseg=cfg.welch_nperseg)
+        freqs = welch_freqs(fs, cfg.n_fft)
+        on = band_sum_db(psd, freqs, cfg.signal_band) - (
+            band_sum_db(psd, freqs, cfg.noise_band_1)
+            + band_sum_db(psd, freqs, cfg.noise_band_2)
+        ) / 2.0
+        pm = jnp.mean(10.0 * jnp.log10(psd), axis=-1)
+
+        def body(carry, inp):
+            st, ev = carry
+            st, ev, thr = stream_step(scfg, st, ev, inp[0], inp[1])
+            return (st, ev), thr
+
+        (st_ref, ev_ref), thr_ref = jax.lax.scan(
+            body, (stream_init(scfg), _empty_events(scfg.cap, on.dtype)), (on, pm)
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(diags["threshold"]), np.asarray(thr_ref), rtol=1e-6, equal_nan=True
+        )
+        assert int(ev_new.count) == int(ev_ref.count)
+        c = int(ev_ref.count)
+        for f in ("time_start", "time_stop", "duration", "db_min", "db_max",
+                  "db_mean", "db_std"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ev_new, f))[:c],
+                np.asarray(getattr(ev_ref, f))[:c],
+                rtol=1e-6,
+                err_msg=f,
+            )
+        # carried state equal too (ring in identical slot order)
+        np.testing.assert_allclose(np.asarray(st_new.ring), np.asarray(st_ref.ring), rtol=1e-6)
+        assert int(st_new.state) == int(st_ref.state)
+        assert int(st_new.block_idx) == int(st_ref.block_idx)
+        np.testing.assert_allclose(
+            float(st_new.psd_db_mean_from_init), float(st_ref.psd_db_mean_from_init), rtol=1e-6
+        )
