@@ -216,22 +216,40 @@ def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
     return n / dt
 
 
+import contextlib
+
+
+@contextlib.contextmanager
 def maybe_profile(argv):
     """`--profile <dir>` wraps the timed section in a jax.profiler trace
     (SURVEY.md §5 tracing; viewable with tensorboard/xprof).  Degrades to a
-    warning when the backend can't trace (tunneled-compile setups)."""
-    import contextlib
-
+    warning when the backend can't trace (tunneled-compile setups raise at
+    start_trace, i.e. on context entry, not construction)."""
     if "--profile" not in argv:
-        return contextlib.nullcontext()
-    out = argv[argv.index("--profile") + 1]
+        yield
+        return
+    idx = argv.index("--profile") + 1
+    if idx >= len(argv):
+        print("# --profile requires a directory argument; skipping trace",
+              file=sys.stderr)
+        yield
+        return
     import jax
 
+    started = False
     try:
-        return jax.profiler.trace(out)
-    except Exception as e:  # noqa: BLE001
+        jax.profiler.start_trace(argv[idx])
+        started = True
+    except Exception as e:  # noqa: BLE001 — profiling must not break the bench
         print(f"# profiler unavailable: {e}", file=sys.stderr)
-        return contextlib.nullcontext()
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:  # noqa: BLE001
+                print(f"# profiler stop failed: {e}", file=sys.stderr)
 
 
 def main() -> int:

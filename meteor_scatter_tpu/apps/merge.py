@@ -218,10 +218,14 @@ def render_html_report(df: pd.DataFrame, out_path: str) -> str:
     per_hour = detections_per_hour(df)
     per_day = detections_per_day(df)
     mat = hour_day_matrix(df)
+    span = (
+        f"{df['utc_start'].min():%Y-%m-%d} … {df['utc_start'].max():%Y-%m-%d}"
+        if len(df)
+        else "no events"
+    )
     html = [
         _HTML_HEAD,
-        f"<h1>Meteor detections — {len(df)} events, "
-        f"{df['utc_start'].min():%Y-%m-%d} … {df['utc_start'].max():%Y-%m-%d}</h1>",
+        f"<h1>Meteor detections — {len(df)} events, {span}</h1>",
         _svg_bar_chart([d.strftime("%m-%d %Hh") for d in per_hour.index],
                        per_hour.tolist(), "Detektionen pro Stunde"),
         _svg_bar_chart([d.strftime("%Y-%m-%d") for d in per_day.index],

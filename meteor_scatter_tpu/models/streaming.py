@@ -297,7 +297,20 @@ def stream_process(
     block = int(round(cfg.proc_block_sec * fs))
     n_blocks = samples.shape[-1] // block
     if n_blocks == 0:
-        return state, _empty_events(scfg.cap, jnp.float32), {}
+        # keep the diagnostics contract: length-0 per-block series
+        dtype = jnp.float32
+        z = jnp.zeros(0, dtype)
+        freqs = welch_freqs(fs, cfg.n_fft)
+        diags = {
+            "over_noise": z,
+            "threshold": z,
+            "ms_db": z,
+            "noise1_db": z,
+            "noise2_db": z,
+            "psd_db": jnp.zeros((0, len(freqs)), dtype),
+            "freqs": freqs,
+        }
+        return state, _empty_events(scfg.cap, dtype), diags
     x = samples[..., : n_blocks * block].reshape(n_blocks, block)
 
     psd = welch_psd(x, fs, cfg.n_fft, nperseg=cfg.welch_nperseg)

@@ -75,36 +75,51 @@ def fir_filter(x: jnp.ndarray, taps: np.ndarray, mode: str = "same") -> jnp.ndar
     return _conv1d(x, taps, stride=1, pad=pad, lhs_dilation=1)
 
 
+def _polyphase_plan(n: int, taps: np.ndarray, q: int):
+    """Shared framing math for the MXU polyphase formulation: output length,
+    the (q, A) tap matrix, and the padded frame count.  The tap order is
+    reversed so the result matches *convolution* (np.convolve 'same'), like
+    the conv_general_dilated form this replaces — the correlation/convolution
+    distinction matters for asymmetric taps."""
+    t = len(taps)
+    pl, pr = (t - 1) // 2, t - 1 - (t - 1) // 2
+    n_out = (n + pl + pr - t) // q + 1  # == conv output length
+    a_cols = -(-t // q)
+    rev = np.asarray(taps, np.float64)[::-1]
+    h = np.zeros((q, a_cols), np.float64)
+    for tap in range(t):
+        h[tap % q, tap // q] = rev[tap]
+    m = n_out + a_cols - 1
+    return pl, n_out, a_cols, h, m
+
+
+def _polyphase_frames(x: jnp.ndarray, pl: int, m: int, q: int) -> jnp.ndarray:
+    """(..., m, q) frames of the left-padded signal at the output stride;
+    frame o+a holds samples [(o+a)q, (o+a)q + q)."""
+    n = x.shape[-1]
+    need = m * q
+    xp = jnp.pad(
+        x.astype(jnp.float32), [(0, 0)] * (x.ndim - 1) + [(pl, max(need - n - pl, 0))]
+    )
+    return xp[..., :need].reshape(x.shape[:-1] + (m, q))
+
+
 def polyphase_decimate(x: jnp.ndarray, taps: np.ndarray, q: int) -> jnp.ndarray:
     """Anti-alias filter + keep every q-th sample, computed polyphase: the
     filter runs at the *output* rate (q× cheaper than filter-then-slice).
 
     Formulated for the MXU instead of ``conv_general_dilated``: XLA's
     large-stride conv lowering runs ~100× off the roofline on TPU (measured
-    351 ms for 80 M MACs).  Splitting the tap index t = a·q + b turns the
-    decimation into ``reshape(x, (m, q)) @ H`` with H[b, a] = taps[a·q+b]
-    — one matmul at the output rate — followed by a sum of the A = ceil(T/q)
-    shifted columns.  Same output length/centering as the conv form.
+    351 ms for 80 M MACs).  Splitting the (reversed) tap index t = a·q + b
+    turns the decimation into ``reshape(x, (m, q)) @ H`` — one matmul at the
+    output rate — followed by a sum of the A = ceil(T/q) shifted columns.
+    Same output length/centering/convolution semantics as the conv form.
     """
     if q == 1:
         return fir_filter(x, taps, mode="same")
-    t = len(taps)
-    pl, pr = (t - 1) // 2, t - 1 - (t - 1) // 2
-    n = x.shape[-1]
-    n_out = (n + pl + pr - t) // q + 1  # == conv output length
-
-    a_cols = -(-t // q)
-    h = np.zeros((q, a_cols), np.float32)
-    for tap in range(t):
-        h[tap % q, tap // q] = taps[tap]
-
-    # frames of the padded signal at the output stride; frame o+a holds
-    # samples [(o+a)q, (o+a)q + q), so y[o] = sum_a F[o+a] · H[:, a]
-    m = n_out + a_cols - 1
-    need = m * q
-    xp = jnp.pad(x.astype(jnp.float32), [(0, 0)] * (x.ndim - 1) + [(pl, max(need - n - pl, 0))])
-    f = xp[..., :need].reshape(x.shape[:-1] + (m, q))
-    g = jnp.dot(f, jnp.asarray(h), precision=jax.lax.Precision.HIGHEST)  # (..., m, A)
+    pl, n_out, a_cols, h, m = _polyphase_plan(x.shape[-1], taps, q)
+    f = _polyphase_frames(x, pl, m, q)
+    g = jnp.dot(f, jnp.asarray(h, jnp.float32), precision=jax.lax.Precision.HIGHEST)
     y = g[..., :n_out, 0]
     for a in range(1, a_cols):
         y = y + g[..., a : a + n_out, a]
@@ -193,21 +208,15 @@ def channelize(
         raise ValueError("channel centers must be integer Hz")
     h = firwin_lowpass(numtaps, bandwidth / 2.0, fs)
 
-    q, t, c_n = int(decim), numtaps, len(freqs)
-    a_cols = -(-t // q)
-    pl, pr = (t - 1) // 2, t - 1 - (t - 1) // 2
-    n_out = (n + pl + pr - t) // q + 1
-    m = n_out + a_cols - 1
+    q, c_n = int(decim), len(freqs)
+    pl, n_out, a_cols, hp, m = _polyphase_plan(n, h, q)
 
     # per-channel polyphase taps with the intra-frame mixer folded in:
-    # HH[b, (io, c, a)] = cos/sin(2π·fc·b/fs) · h[a·q + b]
+    # HH[b, (io, c, a)] = cos/sin(2π·fc·b/fs) · hp[b, a]
     hh = np.zeros((q, 2, c_n, a_cols), np.float64)
     b_idx = np.arange(q, dtype=np.int64)
     for c, fc in enumerate(freqs):
         ang_b = 2.0 * np.pi * ((b_idx * (fc % fs_i)) % fs_i) / fs_i
-        hp = np.zeros((q, a_cols))
-        for tap in range(t):
-            hp[tap % q, tap // q] = h[tap]
         hh[:, 0, c, :] = np.cos(ang_b)[:, None] * hp
         hh[:, 1, c, :] = np.sin(ang_b)[:, None] * hp
     hh_j = jnp.asarray(hh.reshape(q, 2 * c_n * a_cols), jnp.float32)
@@ -223,11 +232,7 @@ def channelize(
         sr[c] = np.sin(ang)
     cr_j, sr_j = jnp.asarray(cr), jnp.asarray(sr)
 
-    need = m * q
-    xp = jnp.pad(
-        x.astype(jnp.float32), [(0, 0)] * (x.ndim - 1) + [(pl, max(need - n - pl, 0))]
-    )
-    f = xp[..., :need].reshape(x.shape[:-1] + (m, q))
+    f = _polyphase_frames(x, pl, m, q)
     g = jnp.dot(f, hh_j, precision=jax.lax.Precision.HIGHEST)
     g = g.reshape(x.shape[:-1] + (m, 2, c_n, a_cols))
 

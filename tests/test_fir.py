@@ -132,3 +132,16 @@ class TestChannelizer:
             scale = np.abs(dec).max()
             assert np.abs(re[c, :nn] - dec.real[:nn]).max() / scale < 1e-5
             assert np.abs(im[c, :nn] - dec.imag[:nn]).max() / scale < 1e-5
+
+    def test_polyphase_decimate_asymmetric_taps_convolve(self):
+        # convolution (not correlation) semantics for non-symmetric taps,
+        # consistent between q==1 and q>1
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal(5000).astype(np.float32)
+        taps = rng.standard_normal(57)  # deliberately asymmetric
+        for q in (1, 3, 166):
+            got = np.asarray(polyphase_decimate(jnp.asarray(x), taps, q))
+            want = np.convolve(x.astype(np.float64), taps, mode="same")[::q]
+            nn = min(len(got), len(want))
+            scale = np.abs(want).max()
+            assert np.abs(got[:nn] - want[:nn]).max() / scale < 1e-5, q

@@ -194,14 +194,12 @@ def main() -> int:
     for r, o in zip(ref, ours):
         print(f"  ref {r}  ours {o}")
     ok &= match
-    all_ref = [(r[0], r[1]) for r in ref]
-    all_ours = [(o[0], o[1]) for o in ours]
+    per_case = [([(r[0], r[1]) for r in ref], [(o[0], o[1]) for o in ours])]
 
     stream_wav = os.path.join(args.tmp, "golden_stream.wav")
     make_stream_wav(stream_wav)
     ref, ours = run_stream(args.reference_path, stream_wav)
-    all_ref += [(r[0], r[1]) for r in ref]
-    all_ours += [(o[0], o[1]) for o in ours]
+    per_case.append(([(r[0], r[1]) for r in ref], [(o[0], o[1]) for o in ours]))
     match = ref == ours
     print(f"STREAM: reference={len(ref)} ours={len(ours)} match={match}")
     for r, o in zip(ref, ours):
@@ -209,18 +207,28 @@ def main() -> int:
     ok &= match
 
     # detection F1 vs the reference event lists (BASELINE.json primary
-    # metric): an event counts as a true positive when its [start, stop)
-    # overlaps a reference event
-    tp = sum(
-        1
-        for o in all_ours
-        if any(o[0] < r[1] and r[0] < o[1] for r in all_ref)
+    # metric).  Matching is per case (batch and stream come from unrelated
+    # WAVs — pooling intervals across cases would let cross-case
+    # coincidences count); precision counts matched OUR events, recall
+    # counts matched REFERENCE events, so duplicates can't inflate recall.
+    def overlaps(a, b):
+        return a[0] < b[1] and b[0] < a[1]
+
+    matched_ours = sum(
+        1 for case_r, case_o in per_case for o in case_o
+        if any(overlaps(o, r) for r in case_r)
     )
-    prec = tp / len(all_ours) if all_ours else 1.0
-    rec = tp / len(all_ref) if all_ref else 1.0
+    matched_ref = sum(
+        1 for case_r, case_o in per_case for r in case_r
+        if any(overlaps(o, r) for o in case_o)
+    )
+    n_ours = sum(len(o) for _, o in per_case)
+    n_ref = sum(len(r) for r, _ in per_case)
+    prec = matched_ours / n_ours if n_ours else 1.0
+    rec = matched_ref / n_ref if n_ref else 1.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     print(f"F1 vs reference detections: {f1:.4f} "
-          f"(precision {prec:.4f}, recall {rec:.4f}, {tp}/{len(all_ref)} events)")
+          f"(precision {prec:.4f}, recall {rec:.4f}, {matched_ref}/{n_ref} events)")
 
     print("GOLDEN VALIDATION:", "PASS" if ok else "FAIL")
     return 0 if ok else 1

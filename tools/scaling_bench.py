@@ -133,6 +133,7 @@ def main(argv=None) -> int:
 
     total = jax.device_count()
     sizes = args.devices or [d for d in (1, 2, 4, 8, 16, 32) if d <= total]
+    sizes = sorted(set(sizes))  # efficiency is defined vs the smallest mesh
     results = []
     t_base = None
     for n in sizes:
