@@ -280,7 +280,7 @@ def detect_adaptive(
         fixed_threshold_blocks=int(threshold_fixed_init_duration_sec / bd),
     )
     if impl == "auto":
-        impl = "fused" if jax.default_backend() not in ("cpu",) else "parallel"
+        impl = "fused" if jax.default_backend() != "cpu" else "parallel"
     if impl == "fused":
         events, thresholds = _detect_adaptive_fused(
             delta, cap, interpret=jax.default_backend() == "cpu", **kw

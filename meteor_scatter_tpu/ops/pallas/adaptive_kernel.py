@@ -241,8 +241,8 @@ def _kernel(
 )
 def _run(delta_haloed, i0, freeze_in, fixed_thr, thr_in, halo, k_std, window,
          freeze_before, freeze_after, fixed_blocks, max_rounds, interpret):
-    n = delta_haloed.shape[0] - halo
-    total = halo + n
+    total = delta_haloed.shape[0]
+    n = total - halo
     rows = max(_round_up(pl.cdiv(total, LANES), 8), 8)
     pad = rows * LANES - total
     d2 = jnp.pad(delta_haloed.astype(jnp.float32), (0, pad)).reshape(rows, LANES)
