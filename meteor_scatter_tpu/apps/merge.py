@@ -84,8 +84,12 @@ def render_plots(df: pd.DataFrame, out_dir: str) -> List[str]:
     ax.set_xlabel("UTC (Datum + Stunde)")
     ax.set_ylabel("Anzahl der Detektionen")
     ax.set_title("Detektionen pro Stunde")
-    ax.set_xticks(range(len(per_hour)))
-    ax.set_xticklabels([d.strftime("%Y-%m-%d %H:%M") for d in per_hour.index],
+    # thin the ticks like _svg_bar_chart: a multi-day merge has 100+ hourly
+    # buckets and labeling every bar overlaps unreadably
+    tick_step = max(1, len(per_hour) // 24)
+    ax.set_xticks(range(0, len(per_hour), tick_step))
+    ax.set_xticklabels([d.strftime("%Y-%m-%d %H:%M")
+                        for d in per_hour.index[::tick_step]],
                        rotation=45, ha="right")
     fig.tight_layout()
     p = os.path.join(out_dir, "per_hour.png")
@@ -98,8 +102,10 @@ def render_plots(df: pd.DataFrame, out_dir: str) -> List[str]:
     ax.set_xlabel("Datum")
     ax.set_ylabel("Anzahl der Detektionen")
     ax.set_title("Detektionen pro Tag")
-    ax.set_xticks(range(len(per_day)))
-    ax.set_xticklabels([d.strftime("%Y-%m-%d") for d in per_day.index], rotation=45, ha="right")
+    day_step = max(1, len(per_day) // 31)
+    ax.set_xticks(range(0, len(per_day), day_step))
+    ax.set_xticklabels([d.strftime("%Y-%m-%d") for d in per_day.index[::day_step]],
+                       rotation=45, ha="right")
     fig.tight_layout()
     p = os.path.join(out_dir, "per_day.png")
     fig.savefig(p, dpi=150)

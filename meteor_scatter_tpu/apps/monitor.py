@@ -56,7 +56,10 @@ class OffsetJournal:
             with open(self.path) as fh:
                 j = json.load(fh)
             return int(j["pos"]) if j.get("source") == self.source_id else 0
-        except (ValueError, KeyError, json.JSONDecodeError):
+        except (OSError, ValueError, KeyError, TypeError, AttributeError):
+            # any unreadable/malformed journal (not a dict, null pos, IO
+            # error, ...) degrades to a fresh start instead of crashing
+            # --resume
             return 0
 
     def save(self, pos: int) -> None:
@@ -123,8 +126,8 @@ class CommandSegmentSource:
             if not chunk:
                 break
             buf += chunk
-        if len(buf) < n_bytes:
-            return np.frombuffer(buf, np.int16)  # short segment → triggers rebuild
+        # a short read (stream died) returns a short segment, which the
+        # monitor loop's length check turns into a rebuild
         return np.frombuffer(buf, np.int16)
 
     def terminate(self) -> None:

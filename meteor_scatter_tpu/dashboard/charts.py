@@ -57,10 +57,13 @@ def _fig_to_base64(fig) -> str:
 
 
 def _placeholder_png(text: str) -> str:
-    from meteor_scatter_tpu.io.png import colorize, upscale_to, write_png
+    """No-matplotlib fallback: a dark card with the computed headline value
+    rendered via the built-in bitmap font."""
+    from meteor_scatter_tpu.io.png import colorize, stamp_text, upscale_to, write_png
     import tempfile, os
 
     img = upscale_to(colorize(np.zeros((10, 20)), cmap="gray"), 640, 320)
+    stamp_text(img, text, x=24, y=img.shape[0] // 2 - 14, scale=4)
     fd, path = tempfile.mkstemp(suffix=".png")
     os.close(fd)
     write_png(path, img)

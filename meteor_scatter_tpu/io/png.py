@@ -71,6 +71,99 @@ def upscale_to(rgb: np.ndarray, min_w: int = 640, min_h: int = 320) -> np.ndarra
     return np.repeat(np.repeat(rgb, fy, axis=0), fx, axis=1)
 
 
+# Minimal 5x7 bitmap font (digits, lowercase, a little punctuation) so
+# placeholder/label rendering stays dependency-free like the PNG writer.
+_FONT = {
+    "0": "01110 10001 10011 10101 11001 10001 01110",
+    "1": "00100 01100 00100 00100 00100 00100 01110",
+    "2": "01110 10001 00001 00010 00100 01000 11111",
+    "3": "11110 00001 00001 01110 00001 00001 11110",
+    "4": "00010 00110 01010 10010 11111 00010 00010",
+    "5": "11111 10000 11110 00001 00001 10001 01110",
+    "6": "00110 01000 10000 11110 10001 10001 01110",
+    "7": "11111 00001 00010 00100 01000 01000 01000",
+    "8": "01110 10001 10001 01110 10001 10001 01110",
+    "9": "01110 10001 10001 01111 00001 00010 01100",
+    "a": "00000 00000 01110 00001 01111 10001 01111",
+    "b": "10000 10000 11110 10001 10001 10001 11110",
+    "c": "00000 00000 01110 10000 10000 10001 01110",
+    "d": "00001 00001 01111 10001 10001 10001 01111",
+    "e": "00000 00000 01110 10001 11111 10000 01110",
+    "f": "00110 01001 01000 11100 01000 01000 01000",
+    "g": "00000 01111 10001 10001 01111 00001 01110",
+    "h": "10000 10000 11110 10001 10001 10001 10001",
+    "i": "00100 00000 01100 00100 00100 00100 01110",
+    "j": "00010 00000 00110 00010 00010 10010 01100",
+    "k": "10000 10000 10010 10100 11000 10100 10010",
+    "l": "01100 00100 00100 00100 00100 00100 01110",
+    "m": "00000 00000 11010 10101 10101 10101 10101",
+    "n": "00000 00000 11110 10001 10001 10001 10001",
+    "o": "00000 00000 01110 10001 10001 10001 01110",
+    "p": "00000 11110 10001 10001 11110 10000 10000",
+    "q": "00000 01111 10001 10001 01111 00001 00001",
+    "r": "00000 00000 10110 11001 10000 10000 10000",
+    "s": "00000 00000 01111 10000 01110 00001 11110",
+    "t": "01000 01000 11100 01000 01000 01001 00110",
+    "u": "00000 00000 10001 10001 10001 10011 01101",
+    "v": "00000 00000 10001 10001 10001 01010 00100",
+    "w": "00000 00000 10101 10101 10101 10101 01010",
+    "x": "00000 00000 10001 01010 00100 01010 10001",
+    "y": "00000 10001 10001 10001 01111 00001 01110",
+    "z": "00000 00000 11111 00010 00100 01000 11111",
+    ".": "00000 00000 00000 00000 00000 01100 01100",
+    ",": "00000 00000 00000 00000 01100 00100 01000",
+    ":": "00000 01100 01100 00000 01100 01100 00000",
+    "-": "00000 00000 00000 11111 00000 00000 00000",
+    "+": "00000 00100 00100 11111 00100 00100 00000",
+    "/": "00001 00010 00010 00100 01000 01000 10000",
+    "%": "11001 11010 00010 00100 01000 01011 10011",
+    "(": "00010 00100 01000 01000 01000 00100 00010",
+    ")": "01000 00100 00010 00010 00010 00100 01000",
+    " ": "00000 00000 00000 00000 00000 00000 00000",
+}
+
+
+def render_text(text: str, scale: int = 2) -> np.ndarray:
+    """Rasterize ``text`` with the built-in 5x7 font → (H, W) uint8 mask
+    (255 = ink).  Unknown characters render as a filled box."""
+    cols = []
+    box = np.ones((7, 5), np.uint8)
+    for ch in str(text).lower():
+        rows = _FONT.get(ch)
+        if rows is None:
+            g = box
+        else:
+            g = np.array(
+                [[c == "1" for c in row] for row in rows.split()], np.uint8
+            )
+        cols.append(g)
+        cols.append(np.zeros((7, 1), np.uint8))  # 1-px letter spacing
+    if not cols:
+        cols = [np.zeros((7, 1), np.uint8)]
+    img = np.concatenate(cols[:-1] if len(cols) > 1 else cols, axis=1) * 255
+    if scale > 1:
+        img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
+    return img
+
+
+def stamp_text(rgb: np.ndarray, text: str, x: int, y: int, scale: int = 2,
+               color=(255, 255, 255)) -> np.ndarray:
+    """Blit ``text`` onto an (H, W, 3) uint8 image at (x, y), clipped to the
+    image bounds.  Returns the modified array (in place)."""
+    mask = render_text(text, scale)
+    h, w = mask.shape
+    H, W = rgb.shape[:2]
+    y0, x0 = max(y, 0), max(x, 0)
+    y1, x1 = min(y + h, H), min(x + w, W)
+    if y1 <= y0 or x1 <= x0:
+        return rgb
+    sub = mask[y0 - y : y1 - y, x0 - x : x1 - x] > 0
+    for c in range(3):
+        ch = rgb[y0:y1, x0:x1, c]
+        ch[sub] = color[c]
+    return rgb
+
+
 def write_png(path: str, rgb: np.ndarray) -> None:
     """Write an (H, W, 3) uint8 array as an RGB PNG (filter 0, one IDAT)."""
     rgb = np.asarray(rgb, dtype=np.uint8)

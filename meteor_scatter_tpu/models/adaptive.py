@@ -297,7 +297,11 @@ def _detect_adaptive_fused(delta, cap, interpret, **kw):
     gets a ``window_blocks`` delta halo (its rolling-statistics history),
     the carried freeze horizon / standing threshold, and the whole-series
     fixed threshold; seam-spanning runs merge via ``merge_adjacent``."""
-    from meteor_scatter_tpu.models.events import events_from_run_sums, merge_adjacent
+    from meteor_scatter_tpu.models.events import (
+        events_from_run_sums,
+        merge_adjacent,
+        truncate_events,
+    )
     from meteor_scatter_tpu.ops.pallas.adaptive_kernel import (
         MAX_FUSED_BLOCKS,
         adaptive_solver_fused,
@@ -344,4 +348,7 @@ def _detect_adaptive_fused(delta, cap, interpret, **kw):
         )
         freeze_in = jnp.maximum(freeze_in, jnp.max(f_c))
         thr_in = thr_c[-1]
-    return events, jnp.concatenate(thr_parts)
+    # merge_adjacent grew the buffer to n_chunks*cap; restore the same
+    # fixed-cap contract as the single-launch path (count ≤ cap, overflow
+    # flags drops)
+    return truncate_events(events, cap), jnp.concatenate(thr_parts)

@@ -122,6 +122,30 @@ def events_from_run_sums(
     )
 
 
+def truncate_events(ev: Events, cap: int) -> Events:
+    """Restore the fixed-cap contract after merges grew the buffer:
+    capacity back to ``cap``, count ≤ cap, overflow set when events beyond
+    the cap were dropped (matching :func:`events_from_mask`)."""
+    if ev.capacity == cap:
+        return ev
+    if ev.capacity < cap:
+        pad = cap - ev.capacity
+        return Events(
+            start=jnp.pad(ev.start, (0, pad)),
+            stop=jnp.pad(ev.stop, (0, pad)),
+            db_mean=jnp.pad(ev.db_mean, (0, pad)),
+            count=ev.count,
+            overflow=ev.overflow,
+        )
+    return Events(
+        start=ev.start[:cap],
+        stop=ev.stop[:cap],
+        db_mean=ev.db_mean[:cap],
+        count=jnp.minimum(ev.count, cap),
+        overflow=ev.overflow | (ev.count > cap),
+    )
+
+
 def merge_adjacent(left: Events, right: Events, right_offset: int | jnp.ndarray) -> Events:
     """Concatenate two event buffers from adjacent time shards, merging a run
     that spans the seam (left's last event ends exactly where right's first

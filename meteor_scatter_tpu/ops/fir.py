@@ -78,9 +78,14 @@ def fir_filter(x: jnp.ndarray, taps: np.ndarray, mode: str = "same") -> jnp.ndar
 def _polyphase_plan(n: int, taps: np.ndarray, q: int):
     """Shared framing math for the MXU polyphase formulation: output length,
     the (q, A) tap matrix, and the padded frame count.  The tap order is
-    reversed so the result matches *convolution* (np.convolve 'same'), like
-    the conv_general_dilated form this replaces — the correlation/convolution
-    distinction matters for asymmetric taps."""
+    reversed so the result matches *convolution*, like the
+    conv_general_dilated form this replaces — the correlation/convolution
+    distinction matters for asymmetric taps.
+
+    Centering matches np.convolve 'same' for odd tap counts (every filter in
+    this framework is odd-length by construction — firwin designs).  For
+    even tap counts the output is the conv_general_dilated 'SAME' alignment,
+    one sample left of numpy's choice."""
     t = len(taps)
     pl, pr = (t - 1) // 2, t - 1 - (t - 1) // 2
     n_out = (n + pl + pr - t) // q + 1  # == conv output length

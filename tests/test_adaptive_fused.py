@@ -167,6 +167,26 @@ class TestChunkedFused:
         starts = np.asarray(ev_c.start)[:c]
         assert (starts == 1195).sum() == 1
 
+    def test_cap_contract_after_chunk_merge(self, monkeypatch):
+        # many isolated runs across 3 chunks with a tiny cap: the merged
+        # buffer must come back truncated to the requested cap with count
+        # <= cap and the overflow flag set (same contract as the
+        # single-launch / parallel paths)
+        kw = dict(KW, threshold_std_factor=3.0)
+        d = series(4000, 13, n_bursts=0)
+        for s in range(100, 3900, 300):
+            d[s : s + 3] += 9.0
+        cap = 4
+        ev_c, _ = self.run_chunked(d, monkeypatch, cap=cap, **kw)
+        assert ev_c.capacity == cap
+        assert int(ev_c.count) <= cap
+        assert bool(ev_c.overflow)
+        # the first `cap` events survive in order
+        ev_x, _ = self.run_chunked(d, monkeypatch, cap=64, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(ev_c.start), np.asarray(ev_x.start)[:cap]
+        )
+
 
 class TestEventsFromRunSums:
     @pytest.mark.parametrize("seed", [17, 23])
