@@ -187,6 +187,50 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
     return x_np.size / dt
 
 
+def verify_fused_vs_parallel(x_np: np.ndarray) -> dict:
+    """On-chip correctness gate for the flagship perf claim: run the fused
+    Pallas solver and the XLA fixpoint solver (`models/adaptive.py`) on the
+    same delta series on the *current backend* and require identical event
+    lists (reference semantics: dsp/src/main.py:450-522).  Returns JSON
+    fields for the bench artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    from meteor_scatter_tpu.models.adaptive import detect_adaptive
+    from meteor_scatter_tpu.ops.bandpower import band_projection_matrix, band_power_db
+    from meteor_scatter_tpu.ops.framing import frame_signal
+
+    M, slices = band_projection_matrix(FS, N_FFT, BLOCK, [FREQ_BAND, NOISE_BAND])
+    Mj = jnp.asarray(M)
+
+    @jax.jit
+    def delta_of(x, Mj):
+        frames = frame_signal(x, BLOCK, BLOCK)
+        band, noise = band_power_db(frames, Mj, slices)
+        return band - noise
+
+    def run(impl):
+        ev, _ = jax.jit(
+            lambda d: detect_adaptive(d, K_STD, BLOCK_SEC, impl=impl)
+        )(delta_of(jnp.asarray(x_np), Mj))
+        c = int(np.asarray(ev.count))
+        return c, np.asarray(ev.start)[:c], np.asarray(ev.stop)[:c], np.asarray(ev.db_mean)[:c]
+
+    cf, sf, pf, mf = run("fused")
+    cp, sp, pp, mp = run("parallel")
+    equal = (
+        cf == cp
+        and bool(np.array_equal(sf, sp))
+        and bool(np.array_equal(pf, pp))
+        and bool(np.allclose(mf, mp, rtol=1e-4))
+    )
+    return {
+        "fused_equals_xla": equal,
+        "verify_backend": jax.default_backend(),
+        "verify_events": cf,
+    }
+
+
 def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
     """Wideband channelizer throughput (BASELINE config 4 front half):
     real 1 MS/s capture → n_stations complex basebands @ ~6 kHz.
@@ -275,24 +319,41 @@ def main() -> int:
     print(f"# tpu: {len(x):,} samples in {dt * 1e3:.2f} ms -> {sps:,.0f} samples/s",
           file=sys.stderr)
 
-    # secondary metric (stderr only, opt-in via --multi): BASELINE config 3 —
-    # 8 parallel beacon channels on one chip, aggregate samples/s.  Opt-in
-    # because the vmapped detector's first compile through this machine's
-    # remote-compile tunnel can take minutes.
+    extra: dict = {}
+
+    # on-chip correctness gate (VERDICT r1 item 1): the flagship perf claim
+    # rests on the fused Pallas solver emitting the same events as the XLA
+    # fixpoint solver — assert it on every bench run and record the result.
+    # `--no-verify` skips it (e.g. while iterating on timing only).
+    if "--no-verify" not in sys.argv:
+        try:
+            extra.update(verify_fused_vs_parallel(x))
+            print(f"# verify fused-vs-xla: {extra}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — record the failure, keep the metric
+            extra["fused_equals_xla"] = False
+            extra["verify_error"] = str(e)[:200]
+            print(f"# verify fused-vs-xla FAILED: {e}", file=sys.stderr)
+
+    # secondary metric (opt-in via --multi): BASELINE config 3 — 8 parallel
+    # beacon channels on one chip, aggregate samples/s.  Opt-in because the
+    # vmapped detector's first compile through this machine's remote-compile
+    # tunnel can take minutes.
     if "--multi" in sys.argv:
         try:
             mc_sps = multi_channel_pipeline(n_channels=8, seconds=300.0 if quick else 900.0)
             print(f"# tpu 8-channel: {mc_sps:,.0f} aggregate samples/s "
                   f"({mc_sps / base_sps:.0f}x baseline)", file=sys.stderr)
+            extra["multi8_samples_per_sec"] = round(mc_sps)
         except Exception as e:  # noqa: BLE001 — secondary metric must not break the bench
             print(f"# tpu 8-channel metric skipped: {e}", file=sys.stderr)
 
-    # secondary metric (stderr only, opt-in): wideband channelizer
+    # secondary metric (opt-in): wideband channelizer
     if "--frontend" in sys.argv:
         try:
             fe_sps = frontend_pipeline()
             print(f"# tpu channelizer (8ch @ 1 MS/s): {fe_sps / 1e9:.2f} G input samples/s",
                   file=sys.stderr)
+            extra["channelizer_input_samples_per_sec"] = round(fe_sps)
         except Exception as e:  # noqa: BLE001
             print(f"# tpu channelizer metric skipped: {e}", file=sys.stderr)
 
@@ -303,6 +364,7 @@ def main() -> int:
                 "value": round(sps),
                 "unit": "samples/s",
                 "vs_baseline": round(sps / base_sps, 2),
+                **extra,
             }
         )
     )
