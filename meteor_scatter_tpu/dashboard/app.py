@@ -43,6 +43,10 @@ class DashboardApp:
         self.store = LedgerStore(cfg.csv_folder, cfg.csv_storage_path)
         self.static_dir = static_dir or os.path.join(_HERE, "static")
         os.makedirs(self.static_dir, exist_ok=True)
+        # static slideshow slots (reference templates/index.html:51-57)
+        from meteor_scatter_tpu.dashboard.slides import ensure_static_slides
+
+        ensure_static_slides(self.static_dir)
         self.scheduler = IntervalScheduler(
             self.store.scheduled_update, cfg.schedule_interval_min
         )

@@ -1,11 +1,21 @@
 /* Dashboard frontend — feature parity with the reference static/js/script.js:
  * chart fetching with cache busting, periodic refresh of charts and the
- * missing-days list, slideshow with configurable interval, 1 Hz clock. */
+ * missing-days list, a slideshow mixing dynamic charts with static slides
+ * (ref index.html:51-57) including dot indicators (ref script.js:101-124),
+ * configurable interval, 1 Hz clock. */
 
 (function () {
   "use strict";
 
   var CHART_TYPES = ["tagesverlauf", "week", "month"];
+  /* dynamic chart slides + the three static slides, like the reference */
+  var SLIDES = CHART_TYPES.map(function (t) {
+    return { kind: "chart", key: t, label: t };
+  }).concat([1, 2, 3].map(function (i) {
+    return { kind: "static", key: "folie" + i, label: "info " + i,
+             url: "/static/slides/Folie" + i + ".png" };
+  }));
+
   var chartUrls = {};
   var slideIndex = 0;
   var slideshowTimer = null;
@@ -29,17 +39,39 @@
       .catch(function (e) { console.error("chart " + type + ":", e); });
   }
 
+  /* dot indicators (ref :103-124) */
+  function buildDots() {
+    var holder = document.getElementById("slide-dots");
+    holder.innerHTML = "";
+    SLIDES.forEach(function (s, i) {
+      var dot = document.createElement("span");
+      dot.className = "dot";
+      dot.addEventListener("click", function () { showSlide(i); });
+      holder.appendChild(dot);
+    });
+  }
+
+  function markDot(i) {
+    var dots = document.getElementById("slide-dots").children;
+    for (var k = 0; k < dots.length; k++) {
+      dots[k].className = k === i ? "dot active" : "dot";
+    }
+  }
+
   function showSlide(i) {
-    slideIndex = (i + CHART_TYPES.length) % CHART_TYPES.length;
-    var type = CHART_TYPES[slideIndex];
+    slideIndex = (i + SLIDES.length) % SLIDES.length;
+    var slide = SLIDES[slideIndex];
     var img = document.getElementById("slide-img");
     var label = document.getElementById("slide-label");
-    if (chartUrls[type]) {
-      img.src = chartUrls[type];
+    if (slide.kind === "static") {
+      img.src = apiUrl(slide.url);
+    } else if (chartUrls[slide.key]) {
+      img.src = chartUrls[slide.key];
     } else {
-      loadChart(type, function (url) { img.src = url; });
+      loadChart(slide.key, function (url) { img.src = url; });
     }
-    label.textContent = type;
+    label.textContent = slide.label;
+    markDot(slideIndex);
   }
 
   function nextSlide() { showSlide(slideIndex + 1); }
@@ -56,7 +88,8 @@
   function refreshAll() {
     CHART_TYPES.forEach(function (t) {
       loadChart(t, function (url) {
-        if (CHART_TYPES[slideIndex] === t) {
+        var cur = SLIDES[slideIndex];
+        if (cur.kind === "chart" && cur.key === t) {
           document.getElementById("slide-img").src = url;
         }
       });
@@ -95,6 +128,7 @@
       paused = !paused;
       this.textContent = paused ? "▶" : "⏸";
     });
+    buildDots();
 
     fetch(apiUrl("/config/slideshow_interval"))
       .then(function (r) { return r.json(); })

@@ -192,6 +192,29 @@ def write_png(path: str, rgb: np.ndarray) -> None:
         fh.write(chunk(b"IEND", b""))
 
 
+def read_png(path: str) -> np.ndarray:
+    """Read back a PNG written by :func:`write_png` (8-bit RGB, filter 0,
+    single IDAT stream) → (H, W, 3) uint8.  Used by tests to assert on
+    exported image content without an image library."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bits, ctype = struct.unpack(">IIBB", payload[:10])
+            assert bits == 8 and ctype == 2, "read_png only handles 8-bit RGB"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 1 + w * 3)
+    assert (raw[:, 0] == 0).all(), "read_png only handles filter type 0"
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
 def read_png_size(path: str) -> tuple[int, int]:
     """(width, height) from the IHDR — used by tests."""
     with open(path, "rb") as fh:

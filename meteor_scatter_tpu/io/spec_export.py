@@ -16,8 +16,63 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from meteor_scatter_tpu.io.events_csv import OutputDetection
-from meteor_scatter_tpu.io.png import colorize, upscale_to, write_png
+from meteor_scatter_tpu.io.png import colorize, stamp_text, upscale_to, write_png
 from meteor_scatter_tpu.ops.spectrogram import spectrogram_scipy
+
+_MARKER_RGB = (255, 80, 80)
+
+
+def _dash_row(img: np.ndarray, row: int, rgb=_MARKER_RGB, period: int = 8) -> None:
+    """Dashed horizontal marker line (the reference's axhline band edges,
+    main.py:68-77) drawn in place."""
+    if 0 <= row < img.shape[0]:
+        cols = np.arange(img.shape[1])
+        img[row, (cols % period) < period // 2] = rgb
+
+
+def render_psd_panel(
+    freqs: np.ndarray,
+    pxx_db: np.ndarray,
+    height: int,
+    width: int,
+    band: Optional[Tuple[float, float]] = None,
+) -> np.ndarray:
+    """Rasterize the reference's right-hand PSD panel
+    (`internal_print_spec_and_psd_mod`, main.py:84-111): PSD dB as a
+    polyline over frequency, dashed vertical lines at the band edges, and
+    the dB range stamped as text — dependency-free like the PNG writer."""
+    img = np.full((height, width, 3), (18, 18, 28), np.uint8)
+    f = np.asarray(freqs, np.float64)
+    p = np.asarray(pxx_db, np.float64)
+    good = np.isfinite(p)
+    if f.size < 2 or not good.any():
+        stamp_text(img, "no psd", 8, height // 2, scale=2)
+        return img
+
+    pad_t, pad_b, pad_x = 24, 16, 6
+    lo, hi = float(p[good].min()), float(p[good].max())
+    if hi <= lo:
+        hi = lo + 1.0
+    xs = np.linspace(f[0], f[-1], width - 2 * pad_x)
+    ys = np.interp(xs, f, np.where(good, p, lo))
+    yy = (pad_t + (hi - ys) / (hi - lo) * (height - pad_t - pad_b)).astype(int)
+    yy = np.clip(yy, 0, height - 1)
+    for i, x in enumerate(range(pad_x, width - pad_x)):
+        y0, y1 = (yy[i], yy[i]) if i == 0 else (min(yy[i - 1], yy[i]), max(yy[i - 1], yy[i]))
+        img[y0 : y1 + 1, x] = (240, 230, 120)
+
+    if band is not None:
+        rows = np.arange(height)
+        for edge in band:
+            if f[0] <= edge <= f[-1]:
+                col = pad_x + int((edge - f[0]) / (f[-1] - f[0]) * (width - 2 * pad_x - 1))
+                img[(rows % 8) < 4, col] = _MARKER_RGB
+
+    stamp_text(img, "psd db", 6, 4, scale=2)
+    stamp_text(img, f"{hi:.0f}", width - 50, pad_t, scale=2, color=(180, 180, 180))
+    stamp_text(img, f"{lo:.0f}", width - 50, height - pad_b - 14, scale=2,
+               color=(180, 180, 180))
+    return img
 
 
 def export_detection_spec(
@@ -31,9 +86,12 @@ def export_detection_spec(
     freq_band: Optional[Tuple[float, float]] = None,
     eps: float = 1e-10,
 ) -> str:
-    """Crop ±context seconds around one detection, render its spectrogram
-    (scipy convention, like `internal_print_spec_and_psd_mod`,
-    main.py:52-54), and write ``spec_and_psd_{t0:.2f}_{t1:.2f}.png``.
+    """Crop ±context seconds around one detection and write
+    ``spec_and_psd_{t0:.2f}_{t1:.2f}.png`` with BOTH panels of the
+    reference's `internal_print_spec_and_psd_mod` (main.py:40-124): the
+    spectrogram waterfall (scipy convention, 70% width, dashed band-edge
+    markers) and the Welch PSD of the whole cut (30% width, nperseg 4096
+    like main.py:85-90).
 
     Larger windows get the doubled n_fft the reference picks
     (`main.py:749-752`).
@@ -47,11 +105,38 @@ def export_detection_spec(
 
     freqs, times, sxx = spectrogram_scipy(cut, fs, nperseg=n_fft)
     sxx_db = 10.0 * np.log10(np.asarray(sxx) + eps)
+    fvec = np.asarray(freqs)
     if freq_band is not None:
-        mask = (freqs >= freq_band[0] - 50) & (freqs <= freq_band[1] + 50)
+        mask = (fvec >= freq_band[0] - 50) & (fvec <= freq_band[1] + 50)
         sxx_db = sxx_db[mask]
+        fvec = fvec[mask]
     # time on x, low frequencies at the bottom (origin='lower')
-    img = upscale_to(colorize(sxx_db[::-1, :]))
+    spec_rgb = colorize(sxx_db[::-1, :])
+    if freq_band is not None and len(fvec):
+        for edge in freq_band:  # axhline markers at the band edges
+            row = int(np.argmin(np.abs(fvec - edge)))
+            _dash_row(spec_rgb, len(fvec) - 1 - row)
+    spec_img = upscale_to(spec_rgb)
+
+    # Welch PSD of the whole cut (reference fixes nperseg = nfft = 4096)
+    from meteor_scatter_tpu.ops.welch import welch_psd
+
+    psd_nfft = 4096
+    nperseg = min(psd_nfft, len(cut))
+    pxx = np.asarray(welch_psd(cut, fs, psd_nfft, nperseg=nperseg))
+    f_psd = np.fft.rfftfreq(psd_nfft, d=1.0 / fs)
+    if freq_band is not None:
+        pmask = (f_psd >= freq_band[0] - 50) & (f_psd <= freq_band[1] + 50)
+        f_psd, pxx = f_psd[pmask], pxx[pmask]
+    pxx_db = 10.0 * np.log10(pxx + eps)
+    psd_img = render_psd_panel(
+        f_psd, pxx_db,
+        height=spec_img.shape[0],
+        width=max(spec_img.shape[1] * 3 // 7, 120),
+        band=freq_band,
+    )
+
+    img = np.concatenate([spec_img, psd_img], axis=1)
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"spec_and_psd_{det.t_start:.2f}_{det.t_stop:.2f}.png")
     write_png(path, img)

@@ -125,6 +125,16 @@ def stream_init(cfg: StreamConfig, dtype=jnp.float32) -> StreamState:
     )
 
 
+def stream_init_batch(cfg: StreamConfig, n_channels: int, dtype=jnp.float32) -> StreamState:
+    """Per-channel initial state: every :func:`stream_init` leaf gains a
+    leading (n_channels,) axis — the carry layout the sharded/vmapped
+    streaming paths use."""
+    s = stream_init(cfg, dtype)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_channels,) + x.shape), s
+    )
+
+
 def _empty_events(cap: int, dtype) -> StreamEvents:
     zf = jnp.zeros(cap, dtype)
     return StreamEvents(
@@ -272,6 +282,39 @@ def _ring_base_thresholds(ring, i0, on, w: int, k_std, dtype):
     return jnp.where(cnt > 0, m + k_std * std, jnp.nan), ext
 
 
+def stream_front(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
+    """Vectorized front half (Welch PSD + three band sums for every block
+    at once, `processor.py:206,349-393`) — the sample-rate part of the
+    streaming pipeline, batched over any leading dims.
+
+    Returns (over_noise, psd_db_mean, front_diags) with per-block series of
+    shape ``samples.shape[:-1] + (n_blocks,)``.
+    """
+    block = int(round(cfg.proc_block_sec * fs))
+    n_blocks = samples.shape[-1] // block
+    x = samples[..., : n_blocks * block].reshape(
+        samples.shape[:-1] + (n_blocks, block)
+    )
+
+    psd = welch_psd(x, fs, cfg.n_fft, nperseg=cfg.welch_nperseg)
+    psd_db = 10.0 * jnp.log10(psd)
+    freqs = welch_freqs(fs, cfg.n_fft)
+
+    ms_db = band_sum_db(psd, freqs, cfg.signal_band)
+    n1_db = band_sum_db(psd, freqs, cfg.noise_band_1)
+    n2_db = band_sum_db(psd, freqs, cfg.noise_band_2)
+    over_noise = ms_db - (n1_db + n2_db) / 2.0
+    psd_db_mean = jnp.mean(psd_db, axis=-1)
+    diags = {
+        "ms_db": ms_db,
+        "noise1_db": n1_db,
+        "noise2_db": n2_db,
+        "psd_db": psd_db,
+        "freqs": freqs,
+    }
+    return over_noise, psd_db_mean, diags
+
+
 def stream_process(
     cfg: DetectionConfig,
     state: StreamState,
@@ -280,11 +323,11 @@ def stream_process(
 ) -> Tuple[StreamState, StreamEvents, dict]:
     """Process a chunk of audio (any whole number of blocks).
 
-    Vectorized front half (Welch PSD + band sums for every block at once,
-    `processor.py:206,349-393`), then the sequential state machine as one
-    scan.  Returns (new_state, events_found_in_chunk, diagnostics) where
-    diagnostics carries the per-block series the live UI plots
-    (over_noise, threshold, band dBs, psd waterfall).
+    Vectorized front half (:func:`stream_front`), then the sequential state
+    machine as one scan (:func:`stream_scan`).  Returns (new_state,
+    events_found_in_chunk, diagnostics) where diagnostics carries the
+    per-block series the live UI plots (over_noise, threshold, band dBs,
+    psd waterfall).
 
     The scan is restructured for TPU relative to :func:`stream_step` (which
     stays as the reference formulation): the O(avg_win) rolling-window
@@ -311,18 +354,24 @@ def stream_process(
             "freqs": freqs,
         }
         return state, _empty_events(scfg.cap, dtype), diags
-    x = samples[..., : n_blocks * block].reshape(n_blocks, block)
 
-    psd = welch_psd(x, fs, cfg.n_fft, nperseg=cfg.welch_nperseg)
-    psd_db = 10.0 * jnp.log10(psd)
-    freqs = welch_freqs(fs, cfg.n_fft)
+    over_noise, psd_db_mean, front_diags = stream_front(cfg, samples, fs)
+    state, events, thresholds = stream_scan(scfg, state, over_noise, psd_db_mean)
+    diags = {"over_noise": over_noise, "threshold": thresholds, **front_diags}
+    return state, events, diags
 
-    ms_db = band_sum_db(psd, freqs, cfg.signal_band)
-    n1_db = band_sum_db(psd, freqs, cfg.noise_band_1)
-    n2_db = band_sum_db(psd, freqs, cfg.noise_band_2)
-    over_noise = ms_db - (n1_db + n2_db) / 2.0
-    psd_db_mean = jnp.mean(psd_db, axis=-1)
 
+def stream_scan(
+    scfg: StreamConfig,
+    state: StreamState,
+    over_noise: jnp.ndarray,  # (n_blocks,)
+    psd_db_mean: jnp.ndarray,  # (n_blocks,)
+) -> Tuple[StreamState, StreamEvents, jnp.ndarray]:
+    """The sequential 3-state machine over one block series — the
+    block-rate back half of :func:`stream_process` (reference semantics:
+    `processor.py:444-510`; restructuring notes there).  Returns
+    (new_state, events, per-block thresholds)."""
+    n_blocks = over_noise.shape[0]
     dtype = over_noise.dtype
     w = scfg.avg_win
     bs = jnp.asarray(scfg.block_sec, dtype)
@@ -461,13 +510,4 @@ def stream_process(
         psd_db_mean_from_init=pinit,
     )
 
-    diags = {
-        "over_noise": over_noise,
-        "threshold": thresholds,
-        "ms_db": ms_db,
-        "noise1_db": n1_db,
-        "noise2_db": n2_db,
-        "psd_db": psd_db,
-        "freqs": freqs,
-    }
-    return state, events, diags
+    return state, events, thresholds

@@ -46,13 +46,13 @@ def _ensure_varying(x: jnp.ndarray, axes) -> jnp.ndarray:
     return lax.pcast(x, missing, to="varying") if missing else x
 
 
-def _place(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
-    """Pin (C, B)-shaped inputs to the canonical (station, time) layout.
+def _place(x: jnp.ndarray, mesh: Mesh, *axes) -> jnp.ndarray:
+    """Pin inputs to the given mesh layout (default: (station, time)).
     Needed because degenerate mesh axes (size 1) leave arrays with a
     replicated GSPMD sharding that eager shard_map refuses to reinterpret;
     device_put alone keeps the original sharding object when it considers
     the layouts equivalent, so route through a jitted identity."""
-    spec = _spec(mesh, STATION_AXIS, TIME_AXIS)
+    spec = _spec(mesh, *(axes or (STATION_AXIS, TIME_AXIS)))
     if getattr(x, "sharding", None) == spec:
         return x
     return jax.jit(lambda a: a, out_shardings=spec)(x)
@@ -393,6 +393,96 @@ def sharded_fir_filter(
         out_specs=P(STATION_AXIS, TIME_AXIS),
     )
     return fn(_place(x, mesh))
+
+
+def sharded_stream_process(
+    cfg,  # DetectionConfig
+    state,  # StreamState with per-channel leaves, or None to initialize
+    x: jnp.ndarray,  # (C, S)
+    fs: float,
+    mesh: Mesh,
+):
+    """Time-sharded streaming 3-state machine (the reference's
+    `processor.py:444-510` sequential loop, SURVEY.md §2.6
+    "sequential-state parallelism").
+
+    Division of labor mirrors :func:`sharded_detect_adaptive_exact`: the
+    Welch front half — where all the FLOPs and HBM traffic are — runs fully
+    sharded over (station, time); the resulting block-rate series (one
+    scalar per 0.2 s, ~4 orders of magnitude smaller than the audio) is
+    all-gathered over the time axis and the sequential state-machine scan
+    runs replicated per device.  The scan is inherently serial (the locked
+    threshold can chain across arbitrarily many blocks, so no bounded halo
+    recomputes it exactly); replicating the tiny scan wastes nothing — its
+    wall-clock equals a single-device scan — and keeps the result bit-exact
+    to the unsharded :func:`stream_process`, which
+    `tests/test_parallel.py` pins on the 8-device mesh.
+
+    The carried ``StreamState`` is per-channel (leading C axis, see
+    ``stream_init_batch``), so chunked long-stream processing keeps working
+    across calls exactly like the single-device path.
+
+    Returns (new_state, events, diags): state/events with per-channel
+    leading dims (sharded over station, replicated over time); diags with
+    the full over_noise/threshold series (replicated over time) and the
+    psd waterfall left sharded (station, time).
+    """
+    from meteor_scatter_tpu.models.streaming import (
+        StreamConfig,
+        stream_front,
+        stream_init_batch,
+        stream_scan,
+    )
+    from meteor_scatter_tpu.ops.welch import welch_freqs
+
+    scfg = StreamConfig.from_config(cfg)
+    block = int(round(cfg.proc_block_sec * fs))
+    n_time = mesh.shape[TIME_AXIS]
+    n_ch, S = x.shape
+    if S % n_time or (S // n_time) % block:
+        raise ValueError(
+            f"samples per time shard ({S}/{n_time}) must be a whole number "
+            f"of {block}-sample blocks"
+        )
+    if state is None:
+        state = stream_init_batch(scfg, n_ch)
+
+    def local(xl, st):  # (C_loc, S_loc); state leaves (C_loc, ...)
+        on, pm, dfront = stream_front(cfg, xl, fs)  # (C_loc, B_loc)
+        on_full = lax.all_gather(on, TIME_AXIS, axis=-1, tiled=True)
+        pm_full = lax.all_gather(pm, TIME_AXIS, axis=-1, tiled=True)
+        st2, ev, thr = jax.vmap(lambda s, o, p: stream_scan(scfg, s, o, p))(
+            st, on_full, pm_full
+        )
+        return st2, ev, thr, on_full, dfront["psd_db"]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(STATION_AXIS, TIME_AXIS), P(STATION_AXIS)),
+        out_specs=(
+            P(STATION_AXIS),  # state (replicated over time by construction)
+            P(STATION_AXIS),  # events
+            P(STATION_AXIS),  # thresholds (C, B)
+            P(STATION_AXIS),  # over_noise (C, B)
+            P(STATION_AXIS, TIME_AXIS, None),  # psd waterfall
+        ),
+        # the gathered block series is identical on every time shard, so
+        # state/events/thresholds are time-replicated by construction; the
+        # checker can't prove that through the scan
+        check_vma=False,
+    )
+    state_placed = jax.tree_util.tree_map(
+        lambda a: _place(a, mesh, STATION_AXIS), state
+    )
+    st2, ev, thr, on_full, psd_db = fn(_place(x, mesh), state_placed)
+    diags = {
+        "over_noise": on_full,
+        "threshold": thr,
+        "psd_db": psd_db,
+        "freqs": welch_freqs(fs, cfg.n_fft),
+    }
+    return st2, ev, diags
 
 
 def sharded_welch_blocks(

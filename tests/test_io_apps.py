@@ -148,6 +148,74 @@ class TestPng:
         up = upscale_to(img, min_w=100, min_h=100)
         assert up.shape[0] >= 100 and up.shape[1] >= 100
 
+    def test_read_png_roundtrip(self, tmp_path):
+        from meteor_scatter_tpu.io.png import read_png
+
+        img = colorize(np.random.default_rng(1).standard_normal((15, 25)))
+        p = str(tmp_path / "rt.png")
+        write_png(p, img)
+        np.testing.assert_array_equal(read_png(p), img)
+
+    def test_text_rendering(self):
+        from meteor_scatter_tpu.io.png import render_text, stamp_text
+
+        m = render_text("avg 12.5 db", scale=2)
+        assert m.ndim == 2 and m.max() == 255
+        img = np.zeros((60, 300, 3), np.uint8)
+        stamp_text(img, "avg 12.5 db", 4, 4, scale=2, color=(0, 255, 0))
+        assert (img[:, :, 1] == 255).any() and not (img[:, :, 0] == 255).any()
+        # clipping at the borders must not raise
+        stamp_text(img, "xyz", -10, 55, scale=3)
+
+
+class TestSpecAndPsdExport:
+    """The per-detection export must contain BOTH reference panels
+    (main.py:40-124): the spectrogram waterfall and the Welch PSD strip."""
+
+    def test_both_panels_present(self, tmp_path):
+        from meteor_scatter_tpu.io.events_csv import OutputDetection
+        from meteor_scatter_tpu.io.png import read_png
+        from meteor_scatter_tpu.io.spec_export import export_detection_spec
+
+        fs = 6000
+        rng = np.random.default_rng(5)
+        n = fs * 12
+        x = rng.standard_normal(n).astype(np.float32) * 0.3
+        t = np.arange(n) / fs
+        m = (t >= 5.0) & (t < 6.0)
+        x[m] += 2.0 * np.sin(2 * np.pi * 1003.0 * t[m]).astype(np.float32)
+
+        det = OutputDetection(t_start=5.0, t_stop=6.0, dur_s=1.0, dB=10.0)
+        p = export_detection_spec(
+            str(tmp_path), det, x, fs, n_fft=1024, freq_band=(993.0, 1013.0)
+        )
+        assert os.path.basename(p) == "spec_and_psd_5.00_6.00.png"
+        img = read_png(p)
+        h, w, _ = img.shape
+        # right ~30% is the PSD panel: dark background + yellow polyline
+        panel = img[:, int(w * 0.72) :]
+        assert (np.all(panel == (240, 230, 120), axis=-1)).any(), "no PSD polyline"
+        # dashed band-edge markers present in both panels
+        assert (np.all(panel == (255, 80, 80), axis=-1)).any(), "no PSD band marker"
+        spec = img[:, : int(w * 0.6)]
+        assert (np.all(spec == (255, 80, 80), axis=-1)).any(), "no spec band marker"
+        # the burst must be visible: tone rows brighter than background
+        assert spec.mean() > 0
+
+    def test_no_band_no_markers(self, tmp_path):
+        from meteor_scatter_tpu.io.events_csv import OutputDetection
+        from meteor_scatter_tpu.io.png import read_png
+        from meteor_scatter_tpu.io.spec_export import export_detection_spec
+
+        fs = 6000
+        x = np.random.default_rng(6).standard_normal(fs * 8).astype(np.float32)
+        det = OutputDetection(t_start=3.0, t_stop=4.0, dur_s=1.0, dB=5.0)
+        p = export_detection_spec(str(tmp_path), det, x, fs, n_fft=512)
+        img = read_png(p)
+        # PSD panel still rendered (full band), no marker columns anywhere
+        assert not (np.all(img == (255, 80, 80), axis=-1)).any()
+        assert (np.all(img == (240, 230, 120), axis=-1)).any()
+
 
 class TestMonitorLoop:
     def test_end_to_end_counts_and_ledger(self, tmp_path):

@@ -167,3 +167,121 @@ class TestShardedAdaptiveExact:
             np.testing.assert_allclose(
                 np.asarray(thr_s[c]), np.asarray(thr_u), rtol=0, atol=0, equal_nan=True
             )
+
+
+class TestShardedStreaming:
+    """Time-sharded streaming 3-state machine == unsharded stream_process,
+    bit-exact (the Welch front half runs per shard; the gathered block-rate
+    scan is identical by construction).  Reference semantics:
+    processor.py:444-510."""
+
+    @staticmethod
+    def _cfg():
+        from meteor_scatter_tpu.config import DetectionConfig
+
+        return DetectionConfig(
+            signal_freq=1000,
+            detection_db_over_noise_mean_min=1,
+            detection_dur_min_sec=0.5,
+        )
+
+    @staticmethod
+    def _audio(fs, dur, seed=11):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(fs * dur)) / fs
+        x = rng.standard_normal((2, len(t))).astype(np.float32) * 0.05
+        # ch0's burst straddles the 16 s time-shard seam of a 64 s / 4-shard
+        # layout; ch1 gets one near the 32 s seam and one interior
+        bursts = {0: [(15.5, 1.5)], 1: [(31.4, 1.2), (50.0, 1.0)]}
+        for c, spans in bursts.items():
+            for s, l in spans:
+                m = (t >= s) & (t < s + l)
+                x[c, m] += 0.6 * np.sin(2 * np.pi * 1000.0 * t[m]).astype(np.float32)
+        return x
+
+    def test_equals_unsharded(self, mesh):
+        from meteor_scatter_tpu.models.streaming import (
+            StreamConfig,
+            stream_init,
+            stream_process,
+        )
+        from meteor_scatter_tpu.parallel.sharded import sharded_stream_process
+
+        fs, dur = 4000, 64.0
+        cfg = self._cfg()
+        x = self._audio(fs, dur)
+
+        st, ev, diags = sharded_stream_process(cfg, None, jnp.asarray(x), fs, mesh)
+        fields = (
+            "time_start", "time_stop", "duration",
+            "db_min", "db_max", "db_mean", "db_std",
+        )
+        for c in range(2):
+            st_u, ev_u, dg_u = stream_process(
+                cfg, stream_init(StreamConfig.from_config(cfg)), jnp.asarray(x[c]), fs
+            )
+            cnt = int(ev_u.count)
+            assert cnt >= 1, "fixture must produce events"
+            assert int(np.asarray(ev.count)[c]) == cnt
+            for f in fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ev, f))[c], np.asarray(getattr(ev_u, f)),
+                    err_msg=f"events.{f} ch{c}",
+                )
+            np.testing.assert_array_equal(
+                np.asarray(diags["threshold"])[c], np.asarray(dg_u["threshold"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(diags["over_noise"])[c], np.asarray(dg_u["over_noise"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(diags["psd_db"])[c], np.asarray(dg_u["psd_db"])
+            )
+            for name, leaf_s, leaf_u in zip(
+                st._fields,
+                jax.tree_util.tree_leaves(st),
+                jax.tree_util.tree_leaves(st_u),
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(leaf_s)[c], np.asarray(leaf_u),
+                    err_msg=f"state.{name} ch{c}",
+                )
+
+    def test_chunked_carry_across_calls(self, mesh):
+        from meteor_scatter_tpu.models.streaming import (
+            StreamConfig,
+            stream_init,
+            stream_process,
+        )
+        from meteor_scatter_tpu.parallel.sharded import sharded_stream_process
+
+        fs, dur = 4000, 64.0
+        cfg = self._cfg()
+        x = self._audio(fs, dur, seed=12)
+        half = x.shape[-1] // 2
+
+        st = None
+        got = []
+        for sl in (x[:, :half], x[:, half:]):
+            st, ev, _ = sharded_stream_process(cfg, st, jnp.asarray(sl), fs, mesh)
+            for c in range(2):
+                for k in range(int(np.asarray(ev.count)[c])):
+                    got.append((c, float(np.asarray(ev.time_start)[c, k]),
+                                float(np.asarray(ev.time_stop)[c, k])))
+
+        want = []
+        for c in range(2):
+            _, ev_u, _ = stream_process(
+                cfg, stream_init(StreamConfig.from_config(cfg)), jnp.asarray(x[c]), fs
+            )
+            for k in range(int(ev_u.count)):
+                want.append((c, float(ev_u.time_start[k]), float(ev_u.time_stop[k])))
+        assert sorted(got) == sorted(want) and len(want) >= 1
+
+    def test_rejects_misaligned_shards(self, mesh):
+        from meteor_scatter_tpu.parallel.sharded import sharded_stream_process
+
+        cfg = self._cfg()
+        x = jnp.zeros((2, 4000 * 3), jnp.float32)  # 3 s / 4 shards: not block-aligned
+        with pytest.raises(ValueError):
+            sharded_stream_process(cfg, None, x, 4000, mesh)
