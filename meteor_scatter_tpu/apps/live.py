@@ -45,9 +45,15 @@ class LiveSession:
         fs: float,
         vis: Optional[VisualizationConfig] = None,
         spec: Optional[SpecExportConfig] = None,
+        headless: bool = False,
     ):
         self.cfg = cfg
         self.fs = fs
+        # bins-only front half (no PSD waterfall, no spec export, no UI) —
+        # opt-in throughput mode, see models/streaming.py stream_front_headless
+        self.headless = headless and not (vis and vis.enable_ui_plots) and not (
+            spec and spec.output_dir
+        )
         self.vis = vis or VisualizationConfig()
         self.spec = spec or SpecExportConfig()
         self.state = stream_init(StreamConfig.from_config(cfg))
@@ -69,17 +75,19 @@ class LiveSession:
         usable = n_blocks * self.block_samples
         self.block_offset_before_feed = self._blocks_fed
         self.state, events, diags = stream_process(
-            self.cfg, self.state, jnp.asarray(samples[:usable], jnp.float32), self.fs
+            self.cfg, self.state, jnp.asarray(samples[:usable], jnp.float32), self.fs,
+            front="bins" if self.headless else "welch",
         )
         self.last_diags = diags
 
-        # waterfall ring
-        psd_db = np.asarray(diags["psd_db"])
-        for b in range(n_blocks):
-            self.wf_db.append(psd_db[b])
-            self.wf_times.append((self._blocks_fed + b + 1) * self.cfg.proc_block_sec)
-        self.wf_db = self.wf_db[-self.wf_win :]
-        self.wf_times = self.wf_times[-self.wf_win :]
+        # waterfall ring (headless mode computes no PSD)
+        if not self.headless:
+            psd_db = np.asarray(diags["psd_db"])
+            for b in range(n_blocks):
+                self.wf_db.append(psd_db[b])
+                self.wf_times.append((self._blocks_fed + b + 1) * self.cfg.proc_block_sec)
+            self.wf_db = self.wf_db[-self.wf_win :]
+            self.wf_times = self.wf_times[-self.wf_win :]
         self._blocks_fed += n_blocks
 
         new = []
@@ -138,6 +146,7 @@ def wav_file_process(
     wav_file_stop_sec: float = -1,
     chunk_sec: float = 60.0,
     expected_sample_rate: Optional[int] = 4000,
+    headless: bool = False,
 ) -> List[dict]:
     """Reference-compatible entry point (`processor.py:14-21`)."""
     fs, data = read_wav(wav_file_path, mono=True)
@@ -152,7 +161,7 @@ def wav_file_process(
     data = np.asarray(data, dtype=np.float32)
 
     vis = config_visualization or VisualizationConfig()
-    sess = LiveSession(config_detection, fs, vis, config_spec_export)
+    sess = LiveSession(config_detection, fs, vis, config_spec_export, headless=headless)
     view = None
     if vis.enable_ui_plots:
         from meteor_scatter_tpu.apps.live_view import LiveView
@@ -196,7 +205,12 @@ def main(argv=None) -> int:
     p.add_argument("--spec-export-dir", default="")
     p.add_argument("--ui", action="store_true", help="live 3x2 dashboard (needs matplotlib GUI)")
     p.add_argument("--realtime-factor", type=float, default=16.0)
+    p.add_argument("--headless", action="store_true",
+                   help="bins-only front half (no PSD waterfall/exports/UI); "
+                        "band numerics within f32 noise of the Welch path")
     args = p.parse_args(argv)
+    if args.headless and (args.ui or args.spec_export_dir):
+        p.error("--headless excludes --ui and --spec-export-dir (both need the PSD waterfall)")
 
     cfg = DetectionConfig(
         proc_block_sec=args.block_sec,
@@ -219,6 +233,7 @@ def main(argv=None) -> int:
         wav_file_start_sec=args.start_sec,
         wav_file_stop_sec=args.stop_sec,
         expected_sample_rate=args.sample_rate,
+        headless=args.headless,
     )
     print(f"Total detected meteors: {len(events)}")
     return 0

@@ -36,8 +36,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from meteor_scatter_tpu.config import DetectionConfig
-from meteor_scatter_tpu.ops.welch import band_sum_db, welch_freqs, welch_psd
+from meteor_scatter_tpu.ops.welch import (
+    band_sum_db,
+    welch_band_matrix,
+    welch_band_sums_db,
+    welch_freqs,
+    welch_psd,
+)
 
 # State machine encoding
 INIT, DETECT, TRACK = 0, 1, 2
@@ -315,11 +323,48 @@ def stream_front(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
     return over_noise, psd_db_mean, diags
 
 
+@functools.lru_cache(maxsize=8)
+def _headless_projection(fs: float, nfft: int, nperseg: int, bands):
+    return welch_band_matrix(fs, nfft, nperseg, bands)
+
+
+def stream_front_headless(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
+    """Bins-only front half: the three Welch band levels via one MXU matmul
+    on the raw segments (:func:`welch_band_matrix`) instead of zero-padded
+    nfft-point PSDs whose other ~2000 bins detection never reads.
+
+    Event decisions depend only on ``over_noise``; ``psd_db_mean`` feeds
+    nothing but the visualization auto-gain (`processor.py:448-454`), so
+    headless mode returns zeros for it and carries no PSD waterfall.  Band
+    numerics equal the Welch path to f32 reduction-order noise — measured
+    delta and the event-list comparison live in
+    ``tests/test_streaming_headless.py``; because a tie at the threshold
+    could in principle flip a block, headless stays opt-in
+    (``stream_process(..., front="bins")`` / ``apps/live.py --headless``).
+    """
+    block = int(round(cfg.proc_block_sec * fs))
+    n_blocks = samples.shape[-1] // block
+    x = samples[..., : n_blocks * block].reshape(
+        samples.shape[:-1] + (n_blocks, block)
+    )
+    nperseg = min(cfg.welch_nperseg, block)
+    P, slices = _headless_projection(
+        fs, cfg.n_fft, nperseg,
+        (cfg.signal_band, cfg.noise_band_1, cfg.noise_band_2),
+    )
+    ms_db, n1_db, n2_db = welch_band_sums_db(x, nperseg, jnp.asarray(P), slices)
+    over_noise = ms_db - (n1_db + n2_db) / 2.0
+    psd_db_mean = jnp.zeros_like(over_noise)
+    diags = {"ms_db": ms_db, "noise1_db": n1_db, "noise2_db": n2_db}
+    return over_noise, psd_db_mean, diags
+
+
 def stream_process(
     cfg: DetectionConfig,
     state: StreamState,
     samples: jnp.ndarray,
     fs: float,
+    front: str = "welch",
 ) -> Tuple[StreamState, StreamEvents, dict]:
     """Process a chunk of audio (any whole number of blocks).
 
@@ -355,7 +400,12 @@ def stream_process(
         }
         return state, _empty_events(scfg.cap, dtype), diags
 
-    over_noise, psd_db_mean, front_diags = stream_front(cfg, samples, fs)
+    if front == "bins":
+        over_noise, psd_db_mean, front_diags = stream_front_headless(cfg, samples, fs)
+    elif front == "welch":
+        over_noise, psd_db_mean, front_diags = stream_front(cfg, samples, fs)
+    else:
+        raise ValueError(f"unknown front {front!r} (use 'welch' or 'bins')")
     state, events, thresholds = stream_scan(scfg, state, over_noise, psd_db_mean)
     diags = {"over_noise": over_noise, "threshold": thresholds, **front_diags}
     return state, events, diags

@@ -71,6 +71,77 @@ def welch_psd(
     return jnp.mean(p, axis=-2)
 
 
+def welch_band_matrix(
+    fs: float,
+    nfft: int,
+    nperseg: int,
+    bands: Tuple[Tuple[float, float], ...],
+):
+    """Projection matrix computing Welch *band sums* without the full PSD.
+
+    For detection, only ``band_sum_db(welch_psd(...), band)`` for a few
+    bands is needed — i.e. Σ_k∈band |X_k|²·c_k per segment, which is the
+    squared norm of a handful of DFT rows.  Those rows (window, constant
+    detrend, density scaling and one-sided doubling all folded in) become
+    columns of one (nperseg, 2·total_bins) matrix, so the whole front half
+    is a single MXU matmul on the raw segments instead of zero-padded
+    nfft-point FFTs producing nfft/2+1 bins that are then discarded.
+
+    Returns ``(P, slices)``: ``seg @ P`` squared and summed over
+    ``slices[b]`` equals the Welch band sum of band ``b`` exactly (up to
+    f32 reduction order).
+    """
+    freqs = welch_freqs(fs, nfft)
+    win = hann_periodic(nperseg)  # float64
+    norm = fs * float(np.sum(win**2))
+    nbins = nfft // 2 + 1
+    scale = np.ones(nbins) * 2.0
+    scale[0] = 1.0
+    if nfft % 2 == 0:
+        scale[-1] = 1.0
+
+    n = np.arange(nperseg)
+    cols = []
+    slices = []
+    start = 0
+    for band in bands:
+        idx = np.nonzero((freqs >= band[0]) & (freqs <= band[1]))[0]
+        for k in idx:
+            c = np.sqrt(scale[k] / norm)
+            ang = 2.0 * np.pi * k * n / nfft
+            for basis in (np.cos(ang), np.sin(ang)):  # sign of -sin is squared away
+                v = win * basis * c
+                v = v - v.mean()  # detrend 'constant' folded in (symmetric)
+                cols.append(v)
+        slices.append((start, start + 2 * len(idx)))
+        start += 2 * len(idx)
+    P = np.stack(cols, axis=1).astype(np.float32)
+    return P, tuple(slices)
+
+
+def welch_band_sums_db(
+    x: jnp.ndarray,
+    nperseg: int,
+    projection: jnp.ndarray,
+    slices,
+    noverlap: int | None = None,
+):
+    """Band dB levels over the last axis via :func:`welch_band_matrix` —
+    equal to ``band_sum_db(welch_psd(x, ...), band)`` per band to f32
+    reduction-order noise.  Returns a list of (...,)-shaped dB arrays."""
+    if noverlap is None:
+        noverlap = nperseg // 2
+    hop = nperseg - noverlap
+    seg = frame_signal(x.astype(jnp.float32), nperseg, hop)  # (..., nseg, nperseg)
+    proj = seg @ projection  # (..., nseg, 2*total)
+    pw = proj * proj
+    out = []
+    for a, b in slices:
+        s = jnp.mean(jnp.sum(pw[..., a:b], axis=-1), axis=-1)
+        out.append(10.0 * jnp.log10(s))
+    return out
+
+
 def band_sum_db(
     psd: jnp.ndarray, freqs: np.ndarray, band: Tuple[float, float], floor: float = 0.0
 ) -> jnp.ndarray:
