@@ -231,6 +231,63 @@ def verify_fused_vs_parallel(x_np: np.ndarray) -> dict:
     }
 
 
+def stations_pipeline(n_stations: int = 64, seconds: float = 600.0) -> float:
+    """BASELINE config 5 on one chip: N stations × continuous 4 kHz streams
+    through the streaming 3-state machine (headless bins front half +
+    vmapped scan, chunk-carried state).  Aggregate input samples/s; the
+    pod-scale version of this shards the same code over a (station, time)
+    mesh (`parallel/sharded.py::sharded_stream_process`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from meteor_scatter_tpu.config import DetectionConfig
+    from meteor_scatter_tpu.models.streaming import (
+        StreamConfig,
+        stream_front_headless,
+        stream_init_batch,
+        stream_scan,
+    )
+
+    fs = 4000
+    cfg = DetectionConfig(
+        signal_freq=1000.0,
+        detection_db_over_noise_mean_min=1.0,
+        detection_dur_min_sec=0.5,
+    )
+    scfg = StreamConfig.from_config(cfg)
+    rng = np.random.default_rng(7)
+    n = int(fs * seconds)
+    x_np = rng.standard_normal((n_stations, n)).astype(np.float32) * 0.3
+    t = np.arange(n) / fs
+    for c in range(n_stations):
+        s0 = 20.0 + (7.0 * c) % max(seconds - 30.0, 1.0)
+        m = (t >= s0) & (t < s0 + 1.0)
+        x_np[c, m] += 1.5 * np.sin(2 * np.pi * 1000.0 * t[m]).astype(np.float32)
+
+    @jax.jit
+    def run(x, st):
+        on, pm, _ = stream_front_headless(cfg, x, fs)
+        st2, ev, _ = jax.vmap(lambda s, o, p: stream_scan(scfg, s, o, p))(st, on, pm)
+        return st2, ev.count
+
+    st0 = stream_init_batch(scfg, n_stations)
+    st, counts = run(jnp.asarray(x_np), st0)
+    np.asarray(counts)
+
+    def chained(k):
+        t0 = time.perf_counter()
+        s, out = st0, None
+        for _ in range(k):
+            s, out = run(jnp.asarray(x_np), s)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    t1 = min(chained(1) for _ in range(2))
+    tk = min(chained(6) for _ in range(2))
+    dt = max((tk - t1) / 5.0, 1e-9)
+    return x_np.size / dt
+
+
 def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
     """Wideband channelizer throughput (BASELINE config 4 front half):
     real 1 MS/s capture → n_stations complex basebands @ ~6 kHz.
@@ -346,6 +403,17 @@ def main() -> int:
             extra["multi8_samples_per_sec"] = round(mc_sps)
         except Exception as e:  # noqa: BLE001 — secondary metric must not break the bench
             print(f"# tpu 8-channel metric skipped: {e}", file=sys.stderr)
+
+    # secondary metric (opt-in): BASELINE config 5 — 64 stations of
+    # continuous 4 kHz streams through the streaming state machine
+    if "--stations" in sys.argv:
+        try:
+            st_sps = stations_pipeline(n_stations=64, seconds=120.0 if quick else 600.0)
+            print(f"# tpu 64-station streaming: {st_sps:,.0f} aggregate samples/s "
+                  f"({st_sps / (4000 * 64):,.0f}x realtime)", file=sys.stderr)
+            extra["stations64_samples_per_sec"] = round(st_sps)
+        except Exception as e:  # noqa: BLE001
+            print(f"# tpu 64-station metric skipped: {e}", file=sys.stderr)
 
     # secondary metric (opt-in): wideband channelizer
     if "--frontend" in sys.argv:

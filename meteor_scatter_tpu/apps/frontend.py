@@ -22,28 +22,37 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from meteor_scatter_tpu.ops.fir import channelize
+from meteor_scatter_tpu.ops.fir import channelize, channelize_iq
 
 
 TONE_FREQ = 1003.0  # audio-domain beacon tone (main.py:827)
 
 
 def iq_frontend(
-    x,  # (S,) real wideband capture
+    x,  # (S,) real wideband capture, or I of a complex capture when x_im given
     fs: float,
     station_freqs: Sequence[float],
     audio_rate: int = 6000,
     tone_freq: float = TONE_FREQ,
     channel_bandwidth: float = 2500.0,
     numtaps: int = 513,
+    x_im=None,  # (S,) Q component of a complex capture (optional)
 ):
-    """Wideband real capture → (n_stations, S_audio) audio-rate channels.
+    """Wideband capture → (n_stations, S_audio) audio-rate channels.
 
     Each station's carrier is mixed so its beacon lands at ``tone_freq``
     in the channel's audio output, matching the rates/frequencies the
-    detectors are configured for.  Mixing to ``f_c - tone_freq`` and taking
-    2·Re of the filtered complex baseband keeps the single remaining
-    sideband as a real tone at ``tone_freq``.
+    detectors are configured for.
+
+    Real capture (``x_im is None``): mixing to ``f_c - tone_freq`` and
+    taking 2·Re of the filtered complex baseband keeps the single remaining
+    sideband as a real tone at ``tone_freq`` (2× because the real tone
+    splits its amplitude across ±f_c).
+
+    Complex I/Q capture (``x_im`` given): the same chain through
+    :func:`channelize_iq`; station offsets may be negative (the lower half
+    of the captured span), and Re alone suffices — a complex exponential
+    carries full amplitude in one sideband.
     """
     from fractions import Fraction
 
@@ -54,21 +63,27 @@ def iq_frontend(
     fs_i = int(round(fs))
     centers = np.asarray(station_freqs, dtype=np.float64) - tone_freq
 
-    if fs_i % audio_rate == 0:
-        decim = fs_i // audio_rate
-        re, _ = channelize(
-            jnp.asarray(x), fs, centers, bandwidth=channel_bandwidth, decim=decim, numtaps=numtaps
+    def bank(decim):
+        if x_im is None:
+            re, _ = channelize(
+                jnp.asarray(x), fs, centers,
+                bandwidth=channel_bandwidth, decim=decim, numtaps=numtaps,
+            )
+            return 2.0 * re
+        re, _ = channelize_iq(
+            jnp.asarray(x), jnp.asarray(x_im), fs, centers,
+            bandwidth=channel_bandwidth, decim=decim, numtaps=numtaps,
         )
-        return 2.0 * re
+        return re
+
+    if fs_i % audio_rate == 0:
+        return bank(fs_i // audio_rate)
     # two-stage: integer channelizer decimation to an intermediate rate
     # comfortably above the channel bandwidth, then a rational polyphase
     # resample to the exact audio rate (2 MS/s → /200 → 10 kHz → ×3/5 → 6 kHz)
     decim1 = max(int(fs_i // (4 * channel_bandwidth)), 1)
-    re, _ = channelize(
-        jnp.asarray(x), fs, centers, bandwidth=channel_bandwidth, decim=decim1, numtaps=numtaps
-    )
     frac = Fraction(audio_rate * decim1, fs_i)
-    return resample_poly(2.0 * re, frac.numerator, frac.denominator)
+    return resample_poly(bank(decim1), frac.numerator, frac.denominator)
 
 
 def detect_channels(
@@ -170,6 +185,36 @@ def synth_wideband(
     return x, truth
 
 
+def synth_wideband_iq(
+    fs: float,
+    seconds: float,
+    station_freqs: Sequence[float],
+    bursts_per_station: int = 2,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, list]:
+    """Complex (I/Q) variant of :func:`synth_wideband`: station offsets span
+    the full ±fs/2 capture (negative offsets allowed), beacons are complex
+    exponentials.  Returns (x_re, x_im, truth)."""
+    rng = np.random.default_rng(seed)
+    n = int(fs * seconds)
+    x_re = rng.standard_normal(n).astype(np.float32) * 0.1
+    x_im = rng.standard_normal(n).astype(np.float32) * 0.1
+    t = np.arange(n) / fs
+    truth = []
+    for c, fc in enumerate(station_freqs):
+        events = []
+        for b in range(bursts_per_station):
+            t0 = 1.0 + (seconds - 3.0) * (b + 0.3 * (c + 1) / len(station_freqs)) / bursts_per_station
+            dur = 0.6 + 0.4 * b
+            m = (t >= t0) & (t < t0 + dur)
+            ph = 2 * np.pi * fc * t[m]
+            x_re[m] += 0.5 * np.cos(ph).astype(np.float32)
+            x_im[m] += 0.5 * np.sin(ph).astype(np.float32)
+            events.append((t0, dur))
+        truth.append(events)
+    return x_re, x_im, truth
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--fs", type=float, default=2_000_000.0)
@@ -177,13 +222,23 @@ def main(argv=None) -> int:
     p.add_argument("--stations", type=int, default=8)
     p.add_argument("--base-freq", type=float, default=100_000.0)
     p.add_argument("--spacing", type=float, default=50_000.0)
+    p.add_argument("--iq", action="store_true",
+                   help="complex I/Q capture; stations centered on 0 Hz "
+                        "(negative offsets use the lower half of the span)")
     args = p.parse_args(argv)
 
-    freqs = [args.base_freq + i * args.spacing for i in range(args.stations)]
-    print(f"Synthesizing {args.seconds}s @ {args.fs / 1e6:.1f} MS/s, {args.stations} stations")
-    x, truth = synth_wideband(args.fs, args.seconds, freqs)
-
-    audio = iq_frontend(x, args.fs, freqs)
+    if args.iq:
+        half = args.stations // 2
+        freqs = [args.spacing * (i - half) or args.spacing / 2 for i in range(args.stations)]
+        print(f"Synthesizing IQ {args.seconds}s @ {args.fs / 1e6:.1f} MS/s, "
+              f"{args.stations} stations at {[f / 1e3 for f in freqs]} kHz")
+        x_re, x_im, truth = synth_wideband_iq(args.fs, args.seconds, freqs)
+        audio = iq_frontend(x_re, args.fs, freqs, x_im=x_im)
+    else:
+        freqs = [args.base_freq + i * args.spacing for i in range(args.stations)]
+        print(f"Synthesizing {args.seconds}s @ {args.fs / 1e6:.1f} MS/s, {args.stations} stations")
+        x, truth = synth_wideband(args.fs, args.seconds, freqs)
+        audio = iq_frontend(x, args.fs, freqs)
     print(f"Channelized to {audio.shape} @ 6 kHz")
     events, delta = detect_channels(audio)
     for c in range(args.stations):

@@ -14,6 +14,7 @@ window, unity passband gain), implemented from first principles in numpy.
 from __future__ import annotations
 
 import math
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -175,20 +176,21 @@ def _conv1d(x, taps, stride, pad, lhs_dilation):
     return y.reshape(orig_shape[:-1] + (y.shape[-1],))
 
 
-def channelize(
+def _channel_bank(
     x: jnp.ndarray,
     fs: float,
     center_freqs: np.ndarray,
     bandwidth: float,
     decim: int,
-    numtaps: int = 257,
+    numtaps: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Multi-channel DDC bank: mix each beacon channel to baseband, lowpass,
-    and decimate — the front half of BASELINE config 4's "polyphase
-    channelizer".  Returns the complex baseband as a *real pair*
-    ``(re, im)``, each (n_channels, n_out) float32 — this TPU backend has
-    no complex dtype support, and I/Q-as-two-reals is the faster layout
-    anyway.
+    """Shared DDC machinery behind :func:`channelize` / :func:`channelize_iq`:
+    for every channel c returns the decimated quadrature projections
+
+        dc = decim((x · cos φ_c) * h),   ds = decim((x · sin φ_c) * h)
+
+    with φ_c(s) = 2π·fc·s/fs at input-sample index s, each output
+    ``x.shape[:-1] + (n_channels, n_out)`` float32.
 
     TPU formulation: nothing ever runs at the input rate except one MXU
     matmul.  Splitting the input index ``s = ri·q + b`` (ri = output-rate
@@ -241,15 +243,68 @@ def channelize(
     g = jnp.dot(f, hh_j, precision=jax.lax.Precision.HIGHEST)
     g = g.reshape(x.shape[:-1] + (m, 2, c_n, a_cols))
 
-    # y_re = Σ_a cr·G_cos − sr·G_sin ; y_im = −Σ_a (sr·G_cos + cr·G_sin)
-    # (cos(r+b) = cr·cb − sr·sb; e^{-jφ}x ⇒ re = x·cosφ, im = −x·sinφ)
-    y_re = jnp.zeros(x.shape[:-1] + (c_n, n_out), jnp.float32)
-    y_im = jnp.zeros_like(y_re)
+    # dc = Σ_a cr·G_cos − sr·G_sin ; ds = Σ_a sr·G_cos + cr·G_sin
+    # (angle addition: cos(r+b) = cr·cb − sr·sb, sin(r+b) = sr·cb + cr·sb)
+    dc = jnp.zeros(x.shape[:-1] + (c_n, n_out), jnp.float32)
+    ds = jnp.zeros_like(dc)
     for a in range(a_cols):
         gc = jnp.moveaxis(g[..., a : a + n_out, 0, :, a], -1, -2)  # (..., C, n_out)
         gs = jnp.moveaxis(g[..., a : a + n_out, 1, :, a], -1, -2)
         crs = cr_j[:, a : a + n_out]
         srs = sr_j[:, a : a + n_out]
-        y_re = y_re + crs * gc - srs * gs
-        y_im = y_im - (srs * gc + crs * gs)
+        dc = dc + crs * gc - srs * gs
+        ds = ds + srs * gc + crs * gs
+    return dc, ds
+
+
+def channelize(
+    x: jnp.ndarray,
+    fs: float,
+    center_freqs: np.ndarray,
+    bandwidth: float,
+    decim: int,
+    numtaps: int = 257,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-channel DDC bank over a *real* capture: mix each beacon channel
+    to baseband (``x·e^{-jφ_c}``), lowpass, and decimate — the front half of
+    BASELINE config 4's "polyphase channelizer".  Returns the complex
+    baseband as a *real pair* ``(re, im)``, each (n_channels, n_out)
+    float32 — this TPU backend has no complex dtype support, and
+    I/Q-as-two-reals is the faster layout anyway.  See :func:`_channel_bank`
+    for the one-matmul TPU formulation.
+    """
+    dc, ds = _channel_bank(x, fs, center_freqs, bandwidth, decim, numtaps)
+    return dc, -ds
+
+
+def channelize_iq(
+    x_re: jnp.ndarray,
+    x_im: jnp.ndarray,
+    fs: float,
+    center_freqs: np.ndarray,
+    bandwidth: float,
+    decim: int,
+    numtaps: int = 257,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`channelize` for a *complex* (I/Q) SDR capture, passed as the
+    real pair ``(x_re, x_im)`` (no complex dtype on this backend).  Channel
+    centers are baseband offsets and may be **negative** — the lower half
+    of the captured span, unreachable from a real capture.
+
+    With x = xr + j·xi and y = decim(LPF(x·e^{-jφ_c})):
+
+        y_re = decim((xr·cosφ)·h) + decim((xi·sinφ)·h)
+        y_im = decim((xi·cosφ)·h) − decim((xr·sinφ)·h)
+
+    Both components ride one stacked frames-matmul through
+    :func:`_channel_bank` (the tap/phase tables are shared), so the cost is
+    exactly 2× the real path — still one MXU matmul at the input rate.
+    Returns ``(y_re, y_im)``, each ``x_re.shape[:-1] + (C, n_out)``.
+    """
+    if x_re.shape != x_im.shape:
+        raise ValueError(f"I/Q shape mismatch: {x_re.shape} vs {x_im.shape}")
+    x = jnp.stack([x_re, x_im])
+    dc, ds = _channel_bank(x, fs, center_freqs, bandwidth, decim, numtaps)
+    y_re = dc[0] + ds[1]
+    y_im = dc[1] - ds[0]
     return y_re, y_im

@@ -401,6 +401,7 @@ def sharded_stream_process(
     x: jnp.ndarray,  # (C, S)
     fs: float,
     mesh: Mesh,
+    front: str = "welch",
 ):
     """Time-sharded streaming 3-state machine (the reference's
     `processor.py:444-510` sequential loop, SURVEY.md §2.6
@@ -422,14 +423,21 @@ def sharded_stream_process(
     ``stream_init_batch``), so chunked long-stream processing keeps working
     across calls exactly like the single-device path.
 
+    ``front="bins"`` selects the headless bins-only front half
+    (:func:`meteor_scatter_tpu.models.streaming.stream_front_headless` —
+    one MXU matmul per shard instead of full Welch PSDs); no psd waterfall
+    is produced and the same opt-in caveats apply as on the single-device
+    path.
+
     Returns (new_state, events, diags): state/events with per-channel
     leading dims (sharded over station, replicated over time); diags with
     the full over_noise/threshold series (replicated over time) and the
-    psd waterfall left sharded (station, time).
+    psd waterfall left sharded (station, time) — Welch front only.
     """
     from meteor_scatter_tpu.models.streaming import (
         StreamConfig,
         stream_front,
+        stream_front_headless,
         stream_init_batch,
         stream_scan,
     )
@@ -447,26 +455,37 @@ def sharded_stream_process(
     if state is None:
         state = stream_init_batch(scfg, n_ch)
 
+    if front not in ("welch", "bins"):
+        raise ValueError(f"unknown front {front!r} (use 'welch' or 'bins')")
+    headless = front == "bins"
+
     def local(xl, st):  # (C_loc, S_loc); state leaves (C_loc, ...)
-        on, pm, dfront = stream_front(cfg, xl, fs)  # (C_loc, B_loc)
+        if headless:
+            on, pm, _ = stream_front_headless(cfg, xl, fs)  # (C_loc, B_loc)
+        else:
+            on, pm, dfront = stream_front(cfg, xl, fs)
         on_full = lax.all_gather(on, TIME_AXIS, axis=-1, tiled=True)
         pm_full = lax.all_gather(pm, TIME_AXIS, axis=-1, tiled=True)
         st2, ev, thr = jax.vmap(lambda s, o, p: stream_scan(scfg, s, o, p))(
             st, on_full, pm_full
         )
+        if headless:
+            return st2, ev, thr, on_full
         return st2, ev, thr, on_full, dfront["psd_db"]
 
+    out_specs = (
+        P(STATION_AXIS),  # state (replicated over time by construction)
+        P(STATION_AXIS),  # events
+        P(STATION_AXIS),  # thresholds (C, B)
+        P(STATION_AXIS),  # over_noise (C, B)
+    )
+    if not headless:
+        out_specs = out_specs + (P(STATION_AXIS, TIME_AXIS, None),)  # psd waterfall
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(STATION_AXIS, TIME_AXIS), P(STATION_AXIS)),
-        out_specs=(
-            P(STATION_AXIS),  # state (replicated over time by construction)
-            P(STATION_AXIS),  # events
-            P(STATION_AXIS),  # thresholds (C, B)
-            P(STATION_AXIS),  # over_noise (C, B)
-            P(STATION_AXIS, TIME_AXIS, None),  # psd waterfall
-        ),
+        out_specs=out_specs,
         # the gathered block series is identical on every time shard, so
         # state/events/thresholds are time-replicated by construction; the
         # checker can't prove that through the scan
@@ -475,13 +494,12 @@ def sharded_stream_process(
     state_placed = jax.tree_util.tree_map(
         lambda a: _place(a, mesh, STATION_AXIS), state
     )
-    st2, ev, thr, on_full, psd_db = fn(_place(x, mesh), state_placed)
-    diags = {
-        "over_noise": on_full,
-        "threshold": thr,
-        "psd_db": psd_db,
-        "freqs": welch_freqs(fs, cfg.n_fft),
-    }
+    out = fn(_place(x, mesh), state_placed)
+    st2, ev, thr, on_full = out[:4]
+    diags = {"over_noise": on_full, "threshold": thr}
+    if not headless:
+        diags["psd_db"] = out[4]
+        diags["freqs"] = welch_freqs(fs, cfg.n_fft)
     return st2, ev, diags
 
 

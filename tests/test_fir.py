@@ -133,6 +133,47 @@ class TestChannelizer:
             assert np.abs(re[c, :nn] - dec.real[:nn]).max() / scale < 1e-5
             assert np.abs(im[c, :nn] - dec.imag[:nn]).max() / scale < 1e-5
 
+    def test_channelize_iq_matches_complex_ddc(self):
+        # complex-capture contract: channelize_iq == float64 (xr+j·xi)·e^{-j2πft}
+        # → FIR 'same' → decimate-by-slicing; negative centers included
+        # (the lower half of an I/Q span, unreachable from a real capture)
+        from meteor_scatter_tpu.ops.fir import channelize_iq, firwin_lowpass
+
+        fs, n, bw, q, T = 48_000, 48_000, 400.0, 8, 97
+        rng = np.random.default_rng(1)
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        freqs = np.array([-12_000, -1000, 7777])
+        re, im = channelize_iq(
+            jnp.asarray(xr), jnp.asarray(xi), fs, freqs, bandwidth=bw, decim=q, numtaps=T
+        )
+        re, im = np.asarray(re), np.asarray(im)
+        h = firwin_lowpass(T, bw / 2.0, fs)
+        t_idx = np.arange(n, dtype=np.float64)
+        x = xr.astype(np.float64) + 1j * xi.astype(np.float64)
+        for c, fc in enumerate(freqs):
+            mixed = x * np.exp(-2j * np.pi * fc * t_idx / fs)
+            dec = np.convolve(mixed, h, mode="same")[::q]
+            nn = min(len(dec), re.shape[1])
+            scale = np.abs(dec).max()
+            assert np.abs(re[c, :nn] - dec.real[:nn]).max() / scale < 1e-5
+            assert np.abs(im[c, :nn] - dec.imag[:nn]).max() / scale < 1e-5
+
+    def test_channelize_iq_zero_imag_equals_real_path(self):
+        # xi = 0 must reproduce channelize bit-for-bit (shared core)
+        from meteor_scatter_tpu.ops.fir import channelize_iq
+
+        fs, n, bw, q, T = 48_000, 12_000, 400.0, 8, 97
+        rng = np.random.default_rng(2)
+        xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        freqs = np.array([1000, 7777])
+        re_r, im_r = channelize(xr, fs, freqs, bandwidth=bw, decim=q, numtaps=T)
+        re_q, im_q = channelize_iq(
+            xr, jnp.zeros_like(xr), fs, freqs, bandwidth=bw, decim=q, numtaps=T
+        )
+        assert np.array_equal(np.asarray(re_r), np.asarray(re_q))
+        assert np.array_equal(np.asarray(im_r), np.asarray(im_q))
+
     def test_polyphase_decimate_asymmetric_taps_convolve(self):
         # convolution (not correlation) semantics for non-symmetric taps,
         # consistent between q==1 and q>1

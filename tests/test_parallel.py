@@ -247,6 +247,54 @@ class TestShardedStreaming:
                     err_msg=f"state.{name} ch{c}",
                 )
 
+    def test_headless_front_equals_unsharded(self, mesh):
+        # front="bins" composes with time sharding: sharded headless must
+        # equal the single-device headless path bit-for-bit (events, state,
+        # thresholds), with no psd waterfall in the diags
+        from meteor_scatter_tpu.models.streaming import (
+            StreamConfig,
+            stream_init,
+            stream_process,
+        )
+        from meteor_scatter_tpu.parallel.sharded import sharded_stream_process
+
+        fs, dur = 4000, 64.0
+        cfg = self._cfg()
+        x = self._audio(fs, dur, seed=13)
+
+        st, ev, diags = sharded_stream_process(
+            cfg, None, jnp.asarray(x), fs, mesh, front="bins"
+        )
+        assert "psd_db" not in diags
+        for c in range(2):
+            st_u, ev_u, dg_u = stream_process(
+                cfg, stream_init(StreamConfig.from_config(cfg)),
+                jnp.asarray(x[c]), fs, front="bins",
+            )
+            assert int(np.asarray(ev.count)[c]) == int(ev_u.count)
+            assert int(ev_u.count) >= 1, "fixture must produce events"
+            np.testing.assert_array_equal(
+                np.asarray(ev.time_start)[c], np.asarray(ev_u.time_start)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ev.time_stop)[c], np.asarray(ev_u.time_stop)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(diags["threshold"])[c], np.asarray(dg_u["threshold"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(diags["over_noise"])[c], np.asarray(dg_u["over_noise"])
+            )
+            for name, leaf_s, leaf_u in zip(
+                st._fields,
+                jax.tree_util.tree_leaves(st),
+                jax.tree_util.tree_leaves(st_u),
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(leaf_s)[c], np.asarray(leaf_u),
+                    err_msg=f"state.{name} ch{c}",
+                )
+
     def test_chunked_carry_across_calls(self, mesh):
         from meteor_scatter_tpu.models.streaming import (
             StreamConfig,
