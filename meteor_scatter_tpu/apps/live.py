@@ -46,6 +46,7 @@ class LiveSession:
         vis: Optional[VisualizationConfig] = None,
         spec: Optional[SpecExportConfig] = None,
         headless: bool = False,
+        impl: str = "scan",
     ):
         self.cfg = cfg
         self.fs = fs
@@ -54,6 +55,9 @@ class LiveSession:
         self.headless = headless and not (vis and vis.enable_ui_plots) and not (
             spec and spec.output_dir
         )
+        # block-rate solver: "scan" (reference formulation) or "jump"
+        # (episode-jump fast path, see models/streaming.py stream_scan_jump)
+        self.impl = impl
         self.vis = vis or VisualizationConfig()
         self.spec = spec or SpecExportConfig()
         self.state = stream_init(StreamConfig.from_config(cfg))
@@ -77,6 +81,7 @@ class LiveSession:
         self.state, events, diags = stream_process(
             self.cfg, self.state, jnp.asarray(samples[:usable], jnp.float32), self.fs,
             front="bins" if self.headless else "welch",
+            impl=self.impl,
         )
         self.last_diags = diags
 
@@ -147,6 +152,7 @@ def wav_file_process(
     chunk_sec: float = 60.0,
     expected_sample_rate: Optional[int] = 4000,
     headless: bool = False,
+    impl: str = "scan",
 ) -> List[dict]:
     """Reference-compatible entry point (`processor.py:14-21`)."""
     fs, data = read_wav(wav_file_path, mono=True)
@@ -161,7 +167,8 @@ def wav_file_process(
     data = np.asarray(data, dtype=np.float32)
 
     vis = config_visualization or VisualizationConfig()
-    sess = LiveSession(config_detection, fs, vis, config_spec_export, headless=headless)
+    sess = LiveSession(config_detection, fs, vis, config_spec_export,
+                       headless=headless, impl=impl)
     view = None
     if vis.enable_ui_plots:
         from meteor_scatter_tpu.apps.live_view import LiveView
@@ -208,6 +215,10 @@ def main(argv=None) -> int:
     p.add_argument("--headless", action="store_true",
                    help="bins-only front half (no PSD waterfall/exports/UI); "
                         "band numerics within f32 noise of the Welch path")
+    p.add_argument("--impl", choices=("scan", "jump"), default="scan",
+                   help="block-rate solver: reference-formulation scan or the "
+                        "episode-jump fast path (bit-exact event boundaries, "
+                        "dB stats to f32 reduction order)")
     args = p.parse_args(argv)
     if args.headless and (args.ui or args.spec_export_dir):
         p.error("--headless excludes --ui and --spec-export-dir (both need the PSD waterfall)")
@@ -234,6 +245,7 @@ def main(argv=None) -> int:
         wav_file_stop_sec=args.stop_sec,
         expected_sample_rate=args.sample_rate,
         headless=args.headless,
+        impl=args.impl,
     )
     print(f"Total detected meteors: {len(events)}")
     return 0

@@ -359,12 +359,197 @@ def stream_front_headless(cfg: DetectionConfig, samples: jnp.ndarray, fs: float)
     return over_noise, psd_db_mean, diags
 
 
+def stream_scan_jump(
+    scfg: StreamConfig,
+    state: StreamState,
+    over_noise: jnp.ndarray,  # (n_blocks,)
+    psd_db_mean: jnp.ndarray,  # (n_blocks,)
+) -> Tuple[StreamState, StreamEvents, jnp.ndarray]:
+    """Episode-jump formulation of :func:`stream_scan`: O(episodes)
+    sequential steps instead of O(blocks).
+
+    Why it is possible: the 3-state machine's *transitions* depend only on
+    comparisons of ``over_noise`` against (a) the precomputable rolling
+    base thresholds and (b) locked values, which are themselves copies of
+    base thresholds chained through lock windows — the tracking statistics
+    never feed back into a transition.  So a `lax.while_loop` can jump from
+    decision point to decision point: in Detection, the next threshold
+    crossing is one vectorized masked-argmax; in Tracking, the next
+    below-lock block is another; the tracked span's dB statistics are
+    masked reductions over that span.  A quiet hour (~18000 blocks, a few
+    dozen crossings) costs dozens of O(n) vector passes instead of 18000
+    sequential scalar steps.
+
+    Parity contract vs :func:`stream_scan` (pinned in
+    ``tests/test_streaming_jump.py``):
+
+    * event boundaries, thresholds, state transitions: **bit-exact** (same
+      comparisons on the same values, including the NaN warm-up and the
+      locked-threshold chaining of `processor.py:406-413,459-510`);
+    * event/tracking dB statistics (mean/std/min/max, init PSD mean):
+      equal up to f32 reduction order (masked vector sums vs sequential
+      adds), so an event whose mean sits exactly at
+      ``detection_db_over_noise_mean_min`` could in principle flip its
+      accept decision — the same caveat class as the bins front half,
+      which is why this stays opt-in (``stream_process(..., impl="jump")``).
+
+    Worst case (a series alternating around the threshold every block) is
+    O(n) episodes of O(n) work; for σ·4 thresholds on real signals the
+    episode count is the event count plus rejected crossings.
+    """
+    n_blocks = over_noise.shape[0]
+    dtype = over_noise.dtype
+    w = scfg.avg_win
+    cap = scfg.cap
+    bs = jnp.asarray(scfg.block_sec, dtype)
+    base_thr, ext = _ring_base_thresholds(
+        state.ring, state.block_idx, over_noise, w, scfg.k_std, dtype
+    )
+    on = over_noise.astype(dtype)
+    idx = jnp.arange(n_blocks, dtype=jnp.int32)
+    # absolute block times, same arithmetic as the scan (i.astype * bs)
+    t_vec = (state.block_idx + idx).astype(dtype) * bs
+    te_vec = (state.block_idx + idx + 1).astype(dtype) * bs
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    # ---- INIT prefix, closed form (processor.py:444-457) ----
+    is_init = state.state == INIT
+    t_ge = t_vec >= scfg.init_wait_sec
+    any_switch = t_ge.any()
+    k_switch = jnp.argmax(t_ge).astype(jnp.int32)
+    init_hi = jnp.where(any_switch, k_switch, n_blocks - 1)  # inclusive
+    init_sel = is_init & (idx <= init_hi)
+    icnt = state.init_count + init_sel.sum(dtype=jnp.int32)
+    isum = state.init_sum + jnp.where(init_sel, psd_db_mean, 0).sum()
+    pinit = jnp.where(
+        is_init & any_switch,
+        isum / jnp.maximum(icnt, 1).astype(dtype),
+        state.psd_db_mean_from_init,
+    )
+    thr0 = jnp.where(init_sel, base_thr, jnp.zeros(n_blocks, dtype))
+    k0 = jnp.where(
+        is_init, jnp.where(any_switch, k_switch + 1, n_blocks), 0
+    ).astype(jnp.int32)
+    s0 = jnp.where(
+        is_init, jnp.where(any_switch, DETECT, INIT), state.state
+    ).astype(jnp.int32)
+
+    ev0 = _empty_events(cap, dtype)
+    carry0 = (
+        k0, s0, state.locked_threshold, state.use_locked_until,
+        state.track_start_sec, state.tr_count, state.tr_sum, state.tr_sumsq,
+        state.tr_min, state.tr_max,
+        ev0.time_start, ev0.time_stop, ev0.duration, ev0.db_min, ev0.db_max,
+        ev0.db_mean, ev0.db_std, ev0.count, ev0.overflow,
+        thr0,
+    )
+
+    def detect_phase(c):
+        (k, s, L, use_until, tstart, trc, trs, trss, trmn, trmx,
+         e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf, thr_out) = c
+        locked = use_until > te_vec
+        thr_vec = jnp.where(locked, L, base_thr)
+        cand = (idx >= k) & (on > thr_vec)
+        has = cand.any()
+        i_star = jnp.argmax(cand).astype(jnp.int32)
+        fill_hi = jnp.where(has, i_star, n_blocks - 1)  # inclusive
+        sel = (idx >= k) & (idx <= fill_hi)
+        thr_out = jnp.where(sel, thr_vec, thr_out)
+        return (
+            jnp.where(has, i_star + 1, n_blocks).astype(jnp.int32),
+            jnp.where(has, TRACK, DETECT).astype(jnp.int32),
+            jnp.where(has, thr_vec[i_star], L),
+            use_until,
+            jnp.where(has, t_vec[i_star], tstart),
+            jnp.where(has, 0, trc),
+            jnp.where(has, 0.0, trs),
+            jnp.where(has, 0.0, trss),
+            jnp.where(has, inf, trmn),
+            jnp.where(has, -inf, trmx),
+            e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf,
+            thr_out,
+        )
+
+    def track_phase(c):
+        (k, s, L, use_until, tstart, trc, trs, trss, trmn, trmx,
+         e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf, thr_out) = c
+        cand = (idx >= k) & (on < L)
+        has = cand.any()
+        j = jnp.argmax(cand).astype(jnp.int32)
+        span_hi = jnp.where(has, j, n_blocks - 1)  # inclusive tracked span
+        sel = (idx >= k) & (idx <= span_hi)
+        trc2 = trc + sel.sum(dtype=jnp.int32)
+        trs2 = trs + jnp.where(sel, on, 0).sum()
+        trss2 = trss + jnp.where(sel, on * on, 0).sum()
+        trmn2 = jnp.minimum(trmn, jnp.where(sel, on, inf).min())
+        trmx2 = jnp.maximum(trmx, jnp.where(sel, on, -inf).max())
+        thr_out = jnp.where(sel, L, thr_out)
+
+        t_leave = t_vec[j]
+        dur = t_leave - tstart
+        h_cnt = jnp.maximum(trc2, 1).astype(dtype)
+        h_mean = trs2 / h_cnt
+        h_std = jnp.sqrt(jnp.maximum(trss2 / h_cnt - h_mean * h_mean, 0))
+        emit = has & (h_mean >= scfg.min_mean_db) & (dur >= scfg.min_dur_sec)
+        slot = jnp.where(emit & (e_cnt < cap), e_cnt, cap)
+        return (
+            jnp.where(has, j + 1, n_blocks).astype(jnp.int32),
+            jnp.where(has, DETECT, TRACK).astype(jnp.int32),
+            L,
+            jnp.where(has, t_leave + scfg.after_wait_sec, use_until),
+            tstart,
+            trc2, trs2, trss2, trmn2, trmx2,
+            e_ts.at[slot].set(tstart, mode="drop"),
+            e_tp.at[slot].set(t_leave, mode="drop"),
+            e_du.at[slot].set(dur, mode="drop"),
+            e_mn.at[slot].set(trmn2, mode="drop"),
+            e_mx.at[slot].set(trmx2, mode="drop"),
+            e_me.at[slot].set(h_mean, mode="drop"),
+            e_sd.at[slot].set(h_std, mode="drop"),
+            e_cnt + emit.astype(jnp.int32),
+            e_ovf | (emit & (e_cnt >= cap)),
+            thr_out,
+        )
+
+    carry = jax.lax.while_loop(
+        lambda c: c[0] < n_blocks,
+        lambda c: jax.lax.cond(c[1] == DETECT, detect_phase, track_phase, c),
+        carry0,
+    )
+    (k, s, L, use_until, tstart, trc, trs, trss, trmn, trmx,
+     e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf, thr_out) = carry
+
+    events = StreamEvents(
+        time_start=e_ts, time_stop=e_tp, duration=e_du,
+        db_min=e_mn, db_max=e_mx, db_mean=e_me, db_std=e_sd,
+        count=e_cnt, overflow=e_ovf,
+    )
+
+    i_end = state.block_idx + n_blocks
+    slot_s = jnp.arange(w)
+    k_last = i_end - w + jnp.mod(slot_s - i_end, w)
+    ring = ext[k_last - (state.block_idx - w)].astype(state.ring.dtype)
+
+    new_state = StreamState(
+        state=s,
+        block_idx=i_end,
+        ring=ring,
+        locked_threshold=L,
+        use_locked_until=use_until,
+        track_start_sec=tstart,
+        tr_count=trc, tr_sum=trs, tr_sumsq=trss, tr_min=trmn, tr_max=trmx,
+        init_sum=isum, init_count=icnt, psd_db_mean_from_init=pinit,
+    )
+    return new_state, events, thr_out
+
+
 def stream_process(
     cfg: DetectionConfig,
     state: StreamState,
     samples: jnp.ndarray,
     fs: float,
     front: str = "welch",
+    impl: str = "scan",
 ) -> Tuple[StreamState, StreamEvents, dict]:
     """Process a chunk of audio (any whole number of blocks).
 
@@ -380,6 +565,11 @@ def stream_process(
     summation order, and event emission becomes per-step *outputs*
     compacted afterwards, so the carry is pure scalars.  Equality with the
     stream_step scan is pinned in tests.
+
+    ``impl="jump"`` replaces the block-rate scan with the episode-jump
+    solver (:func:`stream_scan_jump`) — bit-exact event boundaries and
+    thresholds, dB statistics to f32 reduction order; see its docstring
+    for why it stays opt-in.
     """
     scfg = StreamConfig.from_config(cfg)
     block = int(round(cfg.proc_block_sec * fs))
@@ -406,7 +596,13 @@ def stream_process(
         over_noise, psd_db_mean, front_diags = stream_front(cfg, samples, fs)
     else:
         raise ValueError(f"unknown front {front!r} (use 'welch' or 'bins')")
-    state, events, thresholds = stream_scan(scfg, state, over_noise, psd_db_mean)
+    if impl == "scan":
+        solver = stream_scan
+    elif impl == "jump":
+        solver = stream_scan_jump
+    else:
+        raise ValueError(f"unknown impl {impl!r} (use 'scan' or 'jump')")
+    state, events, thresholds = solver(scfg, state, over_noise, psd_db_mean)
     diags = {"over_noise": over_noise, "threshold": thresholds, **front_diags}
     return state, events, diags
 

@@ -402,6 +402,7 @@ def sharded_stream_process(
     fs: float,
     mesh: Mesh,
     front: str = "welch",
+    impl: str = "scan",
 ):
     """Time-sharded streaming 3-state machine (the reference's
     `processor.py:444-510` sequential loop, SURVEY.md §2.6
@@ -423,6 +424,8 @@ def sharded_stream_process(
     ``stream_init_batch``), so chunked long-stream processing keeps working
     across calls exactly like the single-device path.
 
+    ``impl="jump"`` swaps the replicated block-rate scan for the
+    episode-jump solver (same parity caveats as the single-device path).
     ``front="bins"`` selects the headless bins-only front half
     (:func:`meteor_scatter_tpu.models.streaming.stream_front_headless` —
     one MXU matmul per shard instead of full Welch PSDs); no psd waterfall
@@ -440,6 +443,7 @@ def sharded_stream_process(
         stream_front_headless,
         stream_init_batch,
         stream_scan,
+        stream_scan_jump,
     )
     from meteor_scatter_tpu.ops.welch import welch_freqs
 
@@ -457,6 +461,12 @@ def sharded_stream_process(
 
     if front not in ("welch", "bins"):
         raise ValueError(f"unknown front {front!r} (use 'welch' or 'bins')")
+    if impl == "scan":
+        solver = stream_scan
+    elif impl == "jump":
+        solver = stream_scan_jump
+    else:
+        raise ValueError(f"unknown impl {impl!r} (use 'scan' or 'jump')")
     headless = front == "bins"
 
     def local(xl, st):  # (C_loc, S_loc); state leaves (C_loc, ...)
@@ -466,7 +476,7 @@ def sharded_stream_process(
             on, pm, dfront = stream_front(cfg, xl, fs)
         on_full = lax.all_gather(on, TIME_AXIS, axis=-1, tiled=True)
         pm_full = lax.all_gather(pm, TIME_AXIS, axis=-1, tiled=True)
-        st2, ev, thr = jax.vmap(lambda s, o, p: stream_scan(scfg, s, o, p))(
+        st2, ev, thr = jax.vmap(lambda s, o, p: solver(scfg, s, o, p))(
             st, on_full, pm_full
         )
         if headless:

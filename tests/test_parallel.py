@@ -247,10 +247,11 @@ class TestShardedStreaming:
                     err_msg=f"state.{name} ch{c}",
                 )
 
-    def test_headless_front_equals_unsharded(self, mesh):
-        # front="bins" composes with time sharding: sharded headless must
-        # equal the single-device headless path bit-for-bit (events, state,
-        # thresholds), with no psd waterfall in the diags
+    @pytest.mark.parametrize("impl", ["scan", "jump"])
+    def test_headless_front_equals_unsharded(self, mesh, impl):
+        # front="bins" composes with time sharding (and impl="jump" with
+        # both): sharded must equal the single-device path bit-for-bit
+        # (events, state, thresholds), with no psd waterfall in the diags
         from meteor_scatter_tpu.models.streaming import (
             StreamConfig,
             stream_init,
@@ -263,13 +264,13 @@ class TestShardedStreaming:
         x = self._audio(fs, dur, seed=13)
 
         st, ev, diags = sharded_stream_process(
-            cfg, None, jnp.asarray(x), fs, mesh, front="bins"
+            cfg, None, jnp.asarray(x), fs, mesh, front="bins", impl=impl
         )
         assert "psd_db" not in diags
         for c in range(2):
             st_u, ev_u, dg_u = stream_process(
                 cfg, stream_init(StreamConfig.from_config(cfg)),
-                jnp.asarray(x[c]), fs, front="bins",
+                jnp.asarray(x[c]), fs, front="bins", impl=impl,
             )
             assert int(np.asarray(ev.count)[c]) == int(ev_u.count)
             assert int(ev_u.count) >= 1, "fixture must produce events"

@@ -154,16 +154,19 @@ def run_stream(ref_path: str, wav_path: str):
     from meteor_scatter_tpu.apps.live import wav_file_process as ours_fn
     from meteor_scatter_tpu.config import DetectionConfig
 
-    with contextlib.redirect_stdout(io.StringIO()):
-        events = ours_fn(
-            wav_path,
-            DetectionConfig(
-                proc_block_sec=0.2, n_fft=4096, signal_freq=1020,
-                detection_db_over_noise_mean_min=1, detection_dur_min_sec=0.5,
-            ),
-        )
-    ours = [(round(e["time_start"], 2), round(e["time_stop"], 2)) for e in events]
-    return ref, ours
+    def run_ours(impl):
+        with contextlib.redirect_stdout(io.StringIO()):
+            events = ours_fn(
+                wav_path,
+                DetectionConfig(
+                    proc_block_sec=0.2, n_fft=4096, signal_freq=1020,
+                    detection_db_over_noise_mean_min=1, detection_dur_min_sec=0.5,
+                ),
+                impl=impl,
+            )
+        return [(round(e["time_start"], 2), round(e["time_stop"], 2)) for e in events]
+
+    return ref, run_ours("scan"), run_ours("jump")
 
 
 def main() -> int:
@@ -198,13 +201,16 @@ def main() -> int:
 
     stream_wav = os.path.join(args.tmp, "golden_stream.wav")
     make_stream_wav(stream_wav)
-    ref, ours = run_stream(args.reference_path, stream_wav)
+    ref, ours, ours_jump = run_stream(args.reference_path, stream_wav)
     per_case.append(([(r[0], r[1]) for r in ref], [(o[0], o[1]) for o in ours]))
     match = ref == ours
     print(f"STREAM: reference={len(ref)} ours={len(ours)} match={match}")
     for r, o in zip(ref, ours):
         print(f"  ref {r}  ours {o}")
     ok &= match
+    match_jump = ref == ours_jump
+    print(f"STREAM (impl=jump): ours={len(ours_jump)} match={match_jump}")
+    ok &= match_jump
 
     # detection F1 vs the reference event lists (BASELINE.json primary
     # metric).  Matching is per case (batch and stream come from unrelated
