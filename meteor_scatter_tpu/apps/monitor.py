@@ -97,6 +97,49 @@ class WavSegmentSource:
         return out
 
 
+class PumpSegmentSource:
+    """Deployment-shaped WAV ingest: a background producer thread (the
+    native runtime's C++ pump when available, `io/native.py::WavPump`)
+    streams the file into a lock-free SPSC ring while this thread pops
+    fixed segments — the same producer/consumer split as the reference's
+    TwitchAudioGrabber thread + detection loop (prime_detection.py:49-57,
+    :128), with file IO overlapping device compute.
+    """
+
+    def __init__(self, path: str, cfg: MonitorConfig, realtime: bool = False):
+        from meteor_scatter_tpu.io.native import NativeWavReader, PcmRing, WavPump
+
+        probe = NativeWavReader(path)
+        if probe.fs != cfg.sample_rate:
+            probe.close()
+            raise ValueError(f"expected {cfg.sample_rate} Hz, got {probe.fs}")
+        probe.close()
+        self.seg = cfg.sample_rate * cfg.segment_len_sec
+        # ring holds a few segments: enough prefetch to hide IO, small
+        # enough to bound memory like the reference's one-segment grabs
+        self.ring = PcmRing(4 * self.seg)
+        self.pump = WavPump(
+            path, self.ring, chunk_frames=self.seg,
+            pace_factor=1.0 if realtime else 0.0,
+        )
+        self.source_id = os.path.abspath(path)
+
+    def grab(self) -> Optional[np.ndarray]:
+        while True:
+            seg = self.ring.pop_segment(self.seg)
+            if seg is not None:
+                # back to int16 amplitude scale: the spectrogram dB windows
+                # are calibrated to raw PCM like the reference's grabber
+                # output (exact inverse of the ring's /32768 pop scaling)
+                return seg * 32768.0
+            if not self.pump.running() and self.ring.available() < self.seg:
+                return None  # EOF: trailing partial segment is discarded
+            time.sleep(0.005)
+
+    def close(self) -> None:
+        self.pump.stop()
+
+
 class CommandSegmentSource:
     """Reads int16 mono PCM from a subprocess (ffmpeg/streamlink/...).
 
@@ -229,6 +272,10 @@ def main(argv=None) -> int:
     p.add_argument("--segment-len", type=int, default=30)
     p.add_argument("--max-segments", type=int, default=None)
     p.add_argument("--realtime", action="store_true")
+    p.add_argument("--pump", action="store_true",
+                   help="WAV only: ingest via the native runtime's background "
+                        "pump thread + SPSC ring (IO overlaps compute); "
+                        "excludes --resume (the pump streams from the start)")
     p.add_argument("--resume", action="store_true",
                    help="continue a WAV replay from the journaled offset")
     p.add_argument("--keypoint-mode", choices=["threshold", "corner"],
@@ -243,7 +290,11 @@ def main(argv=None) -> int:
         spec_out_dir=args.spec_out,
         keypoint_mode=args.keypoint_mode,
     )
-    if args.wav:
+    if args.wav and args.pump:
+        if args.resume:
+            p.error("--pump excludes --resume")
+        source = PumpSegmentSource(args.wav, cfg, realtime=args.realtime)
+    elif args.wav:
         start = 0
         if args.resume:
             start = OffsetJournal(args.csv_out, os.path.abspath(args.wav)).load()

@@ -78,6 +78,16 @@ def load_native(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.ms_wav_read_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
     lib.ms_wav_close.argtypes = [ctypes.c_void_p]
 
+    lib.ms_pump_start.restype = ctypes.c_void_p
+    lib.ms_pump_start.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_double,
+    ]
+    lib.ms_pump_running.restype = ctypes.c_int
+    lib.ms_pump_running.argtypes = [ctypes.c_void_p]
+    lib.ms_pump_frames.restype = ctypes.c_longlong
+    lib.ms_pump_frames.argtypes = [ctypes.c_void_p]
+    lib.ms_pump_stop.argtypes = [ctypes.c_void_p]
+
     _lib = lib
     return lib
 
@@ -164,6 +174,110 @@ class PcmRing:
         if getattr(self, "_h", None) is not None and self._lib is not None:
             self._lib.ms_ring_destroy(self._h)
             self._h = None
+
+
+class WavPump:
+    """Background producer: streams a WAV into a :class:`PcmRing` on a
+    dedicated thread (C++ `std::thread` when the native library is loaded,
+    a Python thread otherwise), so the pipeline consumer overlaps file IO
+    with device compute.
+
+    A file producer is replayable, so a full ring applies *backpressure*
+    (the pump waits for space) instead of dropping — ring drops remain the
+    live-source overflow signal.  PCM16 WAVs round-trip bit-exactly
+    through the ring's int16 domain; float32 WAVs quantize to 16 bits.
+
+    ``pace_factor > 0`` throttles to that multiple of realtime (the
+    monitor's 30 s-per-30 s deployment cadence at 1.0); 0 pumps as fast as
+    the ring drains.
+    """
+
+    def __init__(self, path: str, ring: PcmRing, chunk_frames: int = 65536,
+                 pace_factor: float = 0.0):
+        self._lib = load_native()
+        self._ring = ring
+        self._h = None
+        self._thread = None
+        self._running = False
+        self._stop = False
+        self._frames = 0
+        if self._lib is not None and ring.native:
+            self._h = self._lib.ms_pump_start(
+                path.encode(), ring._h, chunk_frames, float(pace_factor)
+            )
+            if not self._h:
+                raise IOError(f"cannot start pump for {path}")
+        else:
+            import threading
+            import time as _time
+
+            self._running = True
+
+            def _pump():
+                reader = NativeWavReader(path)
+                fs = max(reader.fs, 1)
+                t0 = _time.monotonic()
+                try:
+                    while not self._stop:
+                        data = reader.read(chunk_frames)
+                        if len(data) == 0:
+                            break
+                        i16 = np.clip(
+                            np.rint(data * 32768.0), -32768, 32767
+                        ).astype(np.int16)
+                        done = 0
+                        while done < len(i16) and not self._stop:
+                            # only offer what fits: a full-ring push counts
+                            # the excess as dropped, and pump overflow is
+                            # backpressure, not loss
+                            free = ring.capacity - ring.available()
+                            if free == 0:
+                                _time.sleep(0.0002)
+                                continue
+                            done += ring.push(i16[done : done + free])
+                        self._frames += done
+                        if pace_factor > 0:
+                            target = self._frames / (fs * pace_factor)
+                            while (_time.monotonic() - t0) < target and not self._stop:
+                                _time.sleep(min(target - (_time.monotonic() - t0), 0.01))
+                finally:
+                    reader.close()
+                    self._running = False
+
+            self._thread = threading.Thread(target=_pump, daemon=True)
+            self._thread.start()
+
+    @property
+    def native(self) -> bool:
+        return self._h is not None
+
+    def running(self) -> bool:
+        if self._h is not None:
+            return bool(self._lib.ms_pump_running(self._h))
+        return self._running
+
+    def frames_pushed(self) -> int:
+        if self._h is not None:
+            return int(self._lib.ms_pump_frames(self._h))
+        return self._frames
+
+    def stop(self) -> None:
+        """Signal stop, join the producer, release resources (idempotent,
+        safe after EOF)."""
+        if self._h is not None:
+            self._frames = int(self._lib.ms_pump_frames(self._h))
+            self._lib.ms_pump_stop(self._h)
+            self._h = None
+        elif self._thread is not None:
+            self._stop = True
+            self._thread.join(timeout=10.0)
+            self._thread = None
+
+    def __del__(self):
+        try:
+            self.stop()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
 
 
 class NativeWavReader:

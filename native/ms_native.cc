@@ -16,10 +16,12 @@
 // C ABI only — consumed from Python via ctypes (meteor_scatter_tpu/io/native.py).
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <new>
+#include <thread>
 
 extern "C" {
 
@@ -239,6 +241,133 @@ void ms_wav_close(void* h) {
   if (!w) return;
   std::fclose(w->f);
   delete w;
+}
+
+// ---------------------------------------------------------------------------
+// Background pump: WAV -> ring on a dedicated producer thread
+// ---------------------------------------------------------------------------
+//
+// Gives the SPSC ring a true concurrent producer so the Python/device
+// consumer overlaps file IO with compute (the deployment shape of the
+// monitor loop, where the grabber thread and the pipeline run in
+// parallel — prime_detection.py:49-57's TwitchAudioGrabber is its own
+// thread too).  Unlike a live source, a file producer is replayable, so
+// the pump applies *backpressure* (waits for ring space) instead of
+// dropping; ring drops remain the live-source overflow signal.
+//
+// Samples convert to the ring's int16 domain with round-to-nearest and
+// clamping.  For PCM16 WAVs this is a bit-exact round trip (s/32768.0f
+// is exact in float32 and scales back to s); float32 WAVs quantize.
+
+struct MsPump {
+  MsWav* wav;    // owned
+  MsRing* ring;  // borrowed
+  std::thread th;
+  std::atomic<int> running{0};
+  std::atomic<int> stop_flag{0};
+  std::atomic<long long> frames_pushed{0};
+  size_t chunk;
+  double pace;  // 0 = unpaced; else multiples of realtime (needs wav->fs)
+};
+
+static void ms_pump_main(MsPump* p) {
+  const size_t chunk = p->chunk;
+  float* fbuf = new (std::nothrow) float[chunk];
+  int16_t* ibuf = new (std::nothrow) int16_t[chunk];
+  if (!fbuf || !ibuf) {
+    delete[] fbuf;
+    delete[] ibuf;
+    p->running.store(0, std::memory_order_release);
+    return;
+  }
+  const auto t0 = std::chrono::steady_clock::now();
+  const double fs = static_cast<double>(p->wav->fs > 0 ? p->wav->fs : 1);
+  while (!p->stop_flag.load(std::memory_order_acquire)) {
+    long long got = ms_wav_read_f32(p->wav, fbuf, static_cast<long long>(chunk));
+    if (got <= 0) break;  // end of file
+    for (long long i = 0; i < got; ++i) {
+      float v = fbuf[i] * 32768.0f;
+      if (v > 32767.0f) v = 32767.0f;
+      if (v < -32768.0f) v = -32768.0f;
+      ibuf[i] = static_cast<int16_t>(v >= 0.0f ? v + 0.5f : v - 0.5f);
+    }
+    size_t done = 0;
+    while (done < static_cast<size_t>(got) &&
+           !p->stop_flag.load(std::memory_order_acquire)) {
+      // only offer what fits — a full-ring push would count the excess as
+      // dropped, and pump overflow is backpressure, not loss.  SPSC: only
+      // the consumer advances tail, so free space can't shrink under us.
+      size_t used = static_cast<size_t>(
+          p->ring->head.load(std::memory_order_relaxed) -
+          p->ring->tail.load(std::memory_order_acquire));
+      size_t free_space = p->ring->capacity - used;
+      size_t want = static_cast<size_t>(got) - done;
+      if (want > free_space) want = free_space;
+      if (want == 0) {
+        std::this_thread::sleep_for(std::chrono::microseconds(200));
+        continue;
+      }
+      done += ms_ring_push_i16(p->ring, ibuf + done, want);
+    }
+    long long pushed =
+        p->frames_pushed.fetch_add(static_cast<long long>(done),
+                                   std::memory_order_relaxed) +
+        static_cast<long long>(done);
+    if (p->pace > 0.0) {
+      // sleep until wall clock catches up with pushed/(fs*pace)
+      const double target_s = static_cast<double>(pushed) / (fs * p->pace);
+      for (;;) {
+        const double el = std::chrono::duration<double>(
+                              std::chrono::steady_clock::now() - t0)
+                              .count();
+        if (el >= target_s || p->stop_flag.load(std::memory_order_acquire))
+          break;
+        const double wait = target_s - el;
+        std::this_thread::sleep_for(std::chrono::duration<double>(
+            wait < 0.01 ? wait : 0.01));
+      }
+    }
+  }
+  delete[] fbuf;
+  delete[] ibuf;
+  p->running.store(0, std::memory_order_release);
+}
+
+void* ms_pump_start(const char* path, void* ring, size_t chunk_frames,
+                    double pace_factor) {
+  if (!ring || chunk_frames == 0) return nullptr;
+  MsWav* w = static_cast<MsWav*>(ms_wav_open(path));
+  if (!w) return nullptr;
+  MsPump* p = new (std::nothrow) MsPump();
+  if (!p) {
+    ms_wav_close(w);
+    return nullptr;
+  }
+  p->wav = w;
+  p->ring = static_cast<MsRing*>(ring);
+  p->chunk = chunk_frames;
+  p->pace = pace_factor;
+  p->running.store(1, std::memory_order_release);
+  p->th = std::thread(ms_pump_main, p);
+  return p;
+}
+
+int ms_pump_running(void* h) {
+  return static_cast<MsPump*>(h)->running.load(std::memory_order_acquire);
+}
+
+long long ms_pump_frames(void* h) {
+  return static_cast<MsPump*>(h)->frames_pushed.load(std::memory_order_relaxed);
+}
+
+// Signal stop, join, close the WAV, free the pump.  Safe after EOF too.
+void ms_pump_stop(void* h) {
+  MsPump* p = static_cast<MsPump*>(h);
+  if (!p) return;
+  p->stop_flag.store(1, std::memory_order_release);
+  if (p->th.joinable()) p->th.join();
+  ms_wav_close(p->wav);
+  delete p;
 }
 
 }  // extern "C"

@@ -245,6 +245,45 @@ class TestMonitorLoop:
         f = os.path.join(str(tmp_path / "csv"), "20260817.csv")
         assert open(f).readline().strip() == "Timestamp;Anzahl;Kritisch"
 
+    def test_pump_source_matches_direct_replay(self, tmp_path):
+        # the native background-pump ingest (producer thread + SPSC ring)
+        # must yield the same segments, hence the same ledger counts, as
+        # the direct WAV replay
+        from meteor_scatter_tpu.apps.monitor import (
+            PumpSegmentSource,
+            WavSegmentSource,
+            run_monitor,
+        )
+        from meteor_scatter_tpu.config import MonitorConfig
+        from meteor_scatter_tpu.io.wavio import write_wav
+
+        fs, seg = 5000, 30
+        rng = np.random.default_rng(8)
+        t = np.arange(fs * seg * 2) / fs
+        x = rng.standard_normal(len(t)) * 0.3
+        m = (t >= 10.0) & (t < 12.0)
+        x[m] += 3.0 * np.sin(2 * np.pi * 1000.0 * t[m])
+        p = str(tmp_path / "pump_mon.wav")
+        write_wav(p, fs, (x * 3000).astype(np.int16))
+
+        fake_now = datetime.datetime(2026, 8, 17, 10, 0, 0)
+        counts = {}
+        for name, mk in (
+            ("direct", lambda cfg: WavSegmentSource(p, cfg)),
+            ("pump", lambda cfg: PumpSegmentSource(p, cfg)),
+        ):
+            cfg = MonitorConfig(
+                csv_out_dir=str(tmp_path / f"csv_{name}"),
+                spec_out_dir=str(tmp_path / f"spec_{name}"),
+            )
+            src = mk(cfg)
+            ledger = run_monitor(src, cfg, now_fn=lambda: fake_now)
+            counts[name] = (ledger.n_critical, ledger.n_non_critical)
+            if hasattr(src, "close"):
+                src.close()
+        assert counts["pump"] == counts["direct"]
+        assert counts["direct"][0] >= 1  # the burst is critical
+
     def test_wav_replay_offset_resume(self, tmp_path):
         from meteor_scatter_tpu.apps.monitor import (
             OffsetJournal,

@@ -9,6 +9,7 @@ import pytest
 from meteor_scatter_tpu.io.native import (
     NativeWavReader,
     PcmRing,
+    WavPump,
     build_native,
     native_available,
 )
@@ -130,3 +131,82 @@ class TestNativeWav:
         out = rd.read(200)
         rd.close()
         np.testing.assert_allclose(out, st[:, 0].astype(np.float32) / 32768.0)
+
+
+class TestWavPump:
+    """Background producer thread (C++ pump / Python fallback) — WAV
+    streamed into the ring with backpressure, never drops."""
+
+    @staticmethod
+    def _wav(tmp_path, n=40_000, fs=4000, seed=0):
+        x = (np.random.default_rng(seed).standard_normal(n) * 8000).astype(np.int16)
+        p = str(tmp_path / "pump.wav")
+        write_wav(p, fs, x)
+        return p, x
+
+    @staticmethod
+    def _drain(pump, ring, seg):
+        import time
+
+        out = []
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = ring.pop_segment(seg)
+            if got is not None:
+                out.append(got)
+            elif not pump.running() and ring.available() < seg:
+                break
+            else:
+                time.sleep(0.001)
+        tail = ring.pop(ring.available())
+        out.append(tail)
+        return np.concatenate(out)
+
+    def test_bit_exact_with_backpressure(self, tmp_path):
+        p, x = self._wav(tmp_path)
+        ring = PcmRing(8192)  # far smaller than the file: forces waiting
+        pump = WavPump(p, ring, chunk_frames=4096)
+        assert pump.native
+        got = self._drain(pump, ring, 2000)
+        assert pump.frames_pushed() == len(x)
+        assert ring.dropped() == 0, "pump overflow must be backpressure, not drops"
+        np.testing.assert_array_equal(got, x.astype(np.float32) / 32768.0)
+        pump.stop()
+        pump.stop()  # idempotent
+
+    def test_early_stop_no_hang(self, tmp_path):
+        p, _ = self._wav(tmp_path, n=200_000)
+        ring = PcmRing(4096)
+        pump = WavPump(p, ring, chunk_frames=4096)
+        ring.pop(2000)
+        pump.stop()  # mid-stream, ring mostly full: must join promptly
+        assert not pump.running()
+
+    def test_paced_pump(self, tmp_path):
+        import time
+
+        # 2 s of audio at 64x realtime -> >= ~31 ms wall
+        p, x = self._wav(tmp_path, n=8000)
+        ring = PcmRing(1 << 14)
+        t0 = time.monotonic()
+        pump = WavPump(p, ring, chunk_frames=1024, pace_factor=64.0)
+        got = self._drain(pump, ring, 1024)
+        el = time.monotonic() - t0
+        assert len(got) == len(x)
+        assert el >= 0.02, f"pacing had no effect ({el:.3f}s)"
+        pump.stop()
+
+    def test_python_fallback_parity(self, tmp_path, monkeypatch):
+        import meteor_scatter_tpu.io.native as native_mod
+
+        monkeypatch.setattr(native_mod, "load_native", lambda *a, **k: None)
+        p, x = self._wav(tmp_path, seed=3)
+        ring = native_mod.PcmRing(8192)
+        assert not ring.native
+        pump = native_mod.WavPump(p, ring, chunk_frames=4096)
+        assert not pump.native
+        got = self._drain(pump, ring, 2000)
+        assert pump.frames_pushed() == len(x)
+        assert ring.dropped() == 0
+        np.testing.assert_array_equal(got, x.astype(np.float32) / 32768.0)
+        pump.stop()
