@@ -383,15 +383,17 @@ def stream_scan_jump(
     Parity contract vs :func:`stream_scan` (pinned in
     ``tests/test_streaming_jump.py``):
 
-    * event boundaries, thresholds, state transitions: **bit-exact** (same
-      comparisons on the same values, including the NaN warm-up and the
-      locked-threshold chaining of `processor.py:406-413,459-510`);
+    * event boundary times, thresholds, state transitions: **bit-exact**
+      (same comparisons on the same values, including the NaN warm-up and
+      the locked-threshold chaining of `processor.py:406-413,459-510`);
     * event/tracking dB statistics (mean/std/min/max, init PSD mean):
       equal up to f32 reduction order (masked vector sums vs sequential
-      adds), so an event whose mean sits exactly at
-      ``detection_db_over_noise_mean_min`` could in principle flip its
-      accept decision — the same caveat class as the bins front half,
-      which is why this stays opt-in (``stream_process(..., impl="jump")``).
+      adds); durations and lock-expiry times (product−/+product
+      expressions) up to FMA fusion noise — XLA may single-round ``i·bs −
+      t0`` in one graph and double-round it in the other.  An event whose
+      mean or duration sits exactly at an accept bound could therefore
+      flip — the same caveat class as the bins front half, which is why
+      this stays opt-in (``stream_process(..., impl="jump")``).
 
     Worst case (a series alternating around the threshold every block) is
     O(n) episodes of O(n) work; for σ·4 thresholds on real signals the

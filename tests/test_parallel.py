@@ -291,10 +291,18 @@ class TestShardedStreaming:
                 jax.tree_util.tree_leaves(st),
                 jax.tree_util.tree_leaves(st_u),
             ):
-                np.testing.assert_array_equal(
-                    np.asarray(leaf_s)[c], np.asarray(leaf_u),
-                    err_msg=f"state.{name} ch{c}",
-                )
+                if impl == "jump":
+                    # FMA/reduction-order noise between the two jitted
+                    # graphs (see tests/test_streaming_jump.py)
+                    np.testing.assert_allclose(
+                        np.asarray(leaf_s)[c], np.asarray(leaf_u),
+                        rtol=1e-6, atol=1e-6, err_msg=f"state.{name} ch{c}",
+                    )
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(leaf_s)[c], np.asarray(leaf_u),
+                        err_msg=f"state.{name} ch{c}",
+                    )
 
     def test_chunked_carry_across_calls(self, mesh):
         from meteor_scatter_tpu.models.streaming import (
