@@ -300,6 +300,48 @@ def stations_pipeline(
     return x_np.size / dt
 
 
+def image_pipeline(n_segments: int = 8, seconds: float = 30.0, fs: int = 5000) -> float:
+    """Monitor/ML-path metric: 30 s @ 5 kHz segments through the
+    spectrogram-image cluster detector (the reference's deployed 24/7 hot
+    path, prime_detection.py:61-98 + detector_and_classification.py —
+    budgeted there at one segment per 30 s wall on a Raspberry Pi).
+    Returns aggregate input samples/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from meteor_scatter_tpu.models.image import detect_and_cluster_bursts
+
+    rng = np.random.default_rng(11)
+    n = int(fs * seconds)
+    x_np = rng.standard_normal((n_segments, n)).astype(np.float32) * 300.0
+    t = np.arange(n) / fs
+    for s in range(n_segments):
+        for b0 in (8.0 + s, 20.0):
+            m = (t >= b0) & (t < b0 + 1.0)
+            x_np[s, m] += 3000.0 * np.sin(2 * np.pi * 1000.0 * t[m]).astype(np.float32)
+
+    @jax.jit
+    def run(x):
+        _, bursts = jax.vmap(lambda seg: detect_and_cluster_bursts(seg, float(fs)))(x)
+        return bursts.n_critical, bursts.n_non_critical
+
+    x = jnp.asarray(x_np)
+    np.asarray(run(x)[0])
+
+    def chained(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = run(x)
+        np.asarray(out[0])
+        return time.perf_counter() - t0
+
+    t1 = min(chained(1) for _ in range(2))
+    tk = min(chained(6) for _ in range(2))
+    dt = max((tk - t1) / 5.0, 1e-9)
+    return x_np.size / dt
+
+
 def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
     """Wideband channelizer throughput (BASELINE config 4 front half):
     real 1 MS/s capture → n_stations complex basebands @ ~6 kHz.
@@ -426,6 +468,17 @@ def main() -> int:
             extra["stations64_samples_per_sec"] = round(st_sps)
         except Exception as e:  # noqa: BLE001
             print(f"# tpu 64-station metric skipped: {e}", file=sys.stderr)
+
+    # secondary metric (opt-in): the monitor/ML image path
+    if "--image" in sys.argv:
+        try:
+            im_sps = image_pipeline()
+            rt = im_sps / 5000.0
+            print(f"# tpu image path (8 x 30 s segments): {im_sps:,.0f} samples/s "
+                  f"({rt:,.0f}x the reference's realtime budget)", file=sys.stderr)
+            extra["image_samples_per_sec"] = round(im_sps)
+        except Exception as e:  # noqa: BLE001
+            print(f"# tpu image metric skipped: {e}", file=sys.stderr)
 
     # secondary metric (opt-in): wideband channelizer
     if "--frontend" in sys.argv:

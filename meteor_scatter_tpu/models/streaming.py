@@ -14,8 +14,17 @@ oracle of the reference loop):
 * rolling mean/std over the last ``avg_win`` values *excluding* the current
   block (`processor.py:394-404`; the history slice is taken before append)
 * threshold = mean + k·std, overridden by the locked threshold while
-  Tracking, or while Detection with ``use_locked_until > block_end_sec``
-  (`processor.py:406-413`)
+  Tracking, or while Detection inside the post-tracking lock window
+  (`processor.py:406-413`).  The reference compares float seconds
+  (``use_locked_until > block_end_sec``); here the lock window and the
+  minimum-duration acceptance are evaluated in **exact integer block
+  arithmetic** (:func:`lock_tail_blocks` / :func:`min_duration_blocks`) —
+  identical to the float comparison everywhere except exact
+  real-arithmetic ties (lock expiring precisely on a block edge), where
+  float rounding direction is compiler-dependent: XLA may or may not
+  contract ``i·bs + W`` into an FMA per graph, so two formulations of the
+  same machine could legitimately disagree at those blocks.  Integer
+  arithmetic removes the instability and matches exact real semantics.
 * Initialization: accumulate mean PSD dB until
   ``block_start_sec >= init_detection_wait_sec`` (`processor.py:444-457`)
 * Detection→Tracking on ``over_noise > threshold`` with the threshold
@@ -49,6 +58,25 @@ from meteor_scatter_tpu.ops.welch import (
 
 # State machine encoding
 INIT, DETECT, TRACK = 0, 1, 2
+
+
+def lock_tail_blocks(after_wait_sec: float, block_sec: float) -> int:
+    """Largest integer m with ``m·block_sec < after_wait_sec`` in exact real
+    arithmetic: after a track-leave at block j, the locked threshold applies
+    in Detection through block ``j + m − 1`` (the reference condition
+    ``t_start(j) + W > t_end(i)`` ⟺ ``(i+1−j)·bs < W``, processor.py:406)."""
+    import math
+
+    return int(math.ceil(after_wait_sec / block_sec - 1e-9)) - 1
+
+
+def min_duration_blocks(min_dur_sec: float, block_sec: float) -> int:
+    """Smallest integer n with ``n·block_sec ≥ min_dur_sec`` in exact real
+    arithmetic — the accept rule ``duration ≥ detection_dur_min_sec``
+    (processor.py:476-493) with duration = (leave − entry) blocks."""
+    import math
+
+    return int(math.ceil(min_dur_sec / block_sec - 1e-9))
 
 
 class StreamConfig(NamedTuple):
@@ -99,8 +127,9 @@ class StreamState(NamedTuple):
     block_idx: jnp.ndarray  # int32 absolute block counter
     ring: jnp.ndarray  # f32 [avg_win] trailing over-noise values
     locked_threshold: jnp.ndarray
-    use_locked_until: jnp.ndarray  # seconds
+    locked_until_block: jnp.ndarray  # int32: last block the lock applies to
     track_start_sec: jnp.ndarray
+    track_start_block: jnp.ndarray  # int32 absolute entry block
     # running stats of the tracking history
     tr_count: jnp.ndarray
     tr_sum: jnp.ndarray
@@ -120,8 +149,9 @@ def stream_init(cfg: StreamConfig, dtype=jnp.float32) -> StreamState:
         block_idx=jnp.asarray(0, jnp.int32),
         ring=jnp.zeros(cfg.avg_win, dtype),
         locked_threshold=z - 1.0,
-        use_locked_until=z - 1.0,
+        locked_until_block=jnp.asarray(-1, jnp.int32),
         track_start_sec=z,
+        track_start_block=jnp.asarray(0, jnp.int32),
         tr_count=jnp.asarray(0, jnp.int32),
         tr_sum=z,
         tr_sumsq=z,
@@ -164,7 +194,8 @@ def stream_step(cfg: StreamConfig, state: StreamState, events: StreamEvents, ove
     i = state.block_idx
     bs = jnp.asarray(cfg.block_sec, dtype)
     t_start = i.astype(dtype) * bs
-    t_end = (i + 1).astype(dtype) * bs
+    lock_tail = lock_tail_blocks(cfg.after_wait_sec, cfg.block_sec)
+    min_dur_b = min_duration_blocks(cfg.min_dur_sec, cfg.block_sec)
 
     # rolling stats over trailing window (current block excluded)
     w = cfg.avg_win
@@ -180,7 +211,7 @@ def stream_step(cfg: StreamConfig, state: StreamState, events: StreamEvents, ove
         state.state == TRACK,
         state.locked_threshold,
         jnp.where(
-            (state.state == DETECT) & (state.use_locked_until > t_end),
+            (state.state == DETECT) & (i <= state.locked_until_block),
             state.locked_threshold,
             base_thr,
         ),
@@ -208,7 +239,7 @@ def stream_step(cfg: StreamConfig, state: StreamState, events: StreamEvents, ove
     h_mean = tr_sum / h_cnt
     h_var = jnp.maximum(tr_sumsq / h_cnt - h_mean * h_mean, 0)
     h_std = jnp.sqrt(h_var)
-    accept = (h_mean >= cfg.min_mean_db) & (dur >= cfg.min_dur_sec)
+    accept = (h_mean >= cfg.min_mean_db) & (i - state.track_start_block >= min_dur_b)
 
     is_init = state.state == INIT
     is_detect = state.state == DETECT
@@ -245,10 +276,13 @@ def stream_step(cfg: StreamConfig, state: StreamState, events: StreamEvents, ove
         locked_threshold=jnp.where(
             is_detect & enter_track, thr, state.locked_threshold
         ),
-        use_locked_until=jnp.where(
-            is_track & leave_track, t_start + cfg.after_wait_sec, state.use_locked_until
-        ),
+        locked_until_block=jnp.where(
+            is_track & leave_track, i + (lock_tail - 1), state.locked_until_block
+        ).astype(jnp.int32),
         track_start_sec=jnp.where(is_detect & enter_track, t_start, state.track_start_sec),
+        track_start_block=jnp.where(
+            is_detect & enter_track, i, state.track_start_block
+        ).astype(jnp.int32),
         tr_count=jnp.where(is_detect & enter_track, 0, jnp.where(is_track, tr_count, state.tr_count)),
         tr_sum=jnp.where(is_detect & enter_track, 0.0, jnp.where(is_track, tr_sum, state.tr_sum)),
         tr_sumsq=jnp.where(is_detect & enter_track, 0.0, jnp.where(is_track, tr_sumsq, state.tr_sumsq)),
@@ -383,17 +417,19 @@ def stream_scan_jump(
     Parity contract vs :func:`stream_scan` (pinned in
     ``tests/test_streaming_jump.py``):
 
-    * event boundary times, thresholds, state transitions: **bit-exact**
-      (same comparisons on the same values, including the NaN warm-up and
-      the locked-threshold chaining of `processor.py:406-413,459-510`);
-    * event/tracking dB statistics (mean/std/min/max, init PSD mean):
-      equal up to f32 reduction order (masked vector sums vs sequential
-      adds); durations and lock-expiry times (product−/+product
-      expressions) up to FMA fusion noise — XLA may single-round ``i·bs −
-      t0`` in one graph and double-round it in the other.  An event whose
-      mean or duration sits exactly at an accept bound could therefore
-      flip — the same caveat class as the bins front half, which is why
-      this stays opt-in (``stream_process(..., impl="jump")``).
+    * event boundary times, thresholds, state transitions, lock windows,
+      and duration acceptance: **bit-exact** (same comparisons on the same
+      values — lock windows and duration acceptance are integer block
+      arithmetic precisely so no float expression sits on a decision path,
+      see the module docstring);
+    * event/tracking dB statistics (mean/std/min/max, init PSD mean) and
+      the *reported* float duration: equal up to f32 reduction-order/FMA
+      noise (masked vector sums vs sequential adds; ``i·bs − t0`` may be
+      FMA-contracted in one graph and not the other).  An event whose dB
+      mean sits exactly at ``detection_db_over_noise_mean_min`` could in
+      principle flip its accept decision — the same caveat class as the
+      bins front half, which is why this stays opt-in
+      (``stream_process(..., impl="jump")``).
 
     Worst case (a series alternating around the threshold every block) is
     O(n) episodes of O(n) work; for σ·4 thresholds on real signals the
@@ -404,14 +440,16 @@ def stream_scan_jump(
     w = scfg.avg_win
     cap = scfg.cap
     bs = jnp.asarray(scfg.block_sec, dtype)
+    lock_tail = lock_tail_blocks(scfg.after_wait_sec, scfg.block_sec)
+    min_dur_b = min_duration_blocks(scfg.min_dur_sec, scfg.block_sec)
     base_thr, ext = _ring_base_thresholds(
         state.ring, state.block_idx, over_noise, w, scfg.k_std, dtype
     )
     on = over_noise.astype(dtype)
     idx = jnp.arange(n_blocks, dtype=jnp.int32)
+    iabs = state.block_idx + idx  # absolute block indices
     # absolute block times, same arithmetic as the scan (i.astype * bs)
-    t_vec = (state.block_idx + idx).astype(dtype) * bs
-    te_vec = (state.block_idx + idx + 1).astype(dtype) * bs
+    t_vec = iabs.astype(dtype) * bs
     inf = jnp.asarray(jnp.inf, dtype)
 
     # ---- INIT prefix, closed form (processor.py:444-457) ----
@@ -438,8 +476,9 @@ def stream_scan_jump(
 
     ev0 = _empty_events(cap, dtype)
     carry0 = (
-        k0, s0, state.locked_threshold, state.use_locked_until,
-        state.track_start_sec, state.tr_count, state.tr_sum, state.tr_sumsq,
+        k0, s0, state.locked_threshold, state.locked_until_block,
+        state.track_start_sec, state.track_start_block,
+        state.tr_count, state.tr_sum, state.tr_sumsq,
         state.tr_min, state.tr_max,
         ev0.time_start, ev0.time_stop, ev0.duration, ev0.db_min, ev0.db_max,
         ev0.db_mean, ev0.db_std, ev0.count, ev0.overflow,
@@ -447,9 +486,9 @@ def stream_scan_jump(
     )
 
     def detect_phase(c):
-        (k, s, L, use_until, tstart, trc, trs, trss, trmn, trmx,
+        (k, s, L, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
          e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf, thr_out) = c
-        locked = use_until > te_vec
+        locked = iabs <= luntil
         thr_vec = jnp.where(locked, L, base_thr)
         cand = (idx >= k) & (on > thr_vec)
         has = cand.any()
@@ -461,8 +500,9 @@ def stream_scan_jump(
             jnp.where(has, i_star + 1, n_blocks).astype(jnp.int32),
             jnp.where(has, TRACK, DETECT).astype(jnp.int32),
             jnp.where(has, thr_vec[i_star], L),
-            use_until,
+            luntil,
             jnp.where(has, t_vec[i_star], tstart),
+            jnp.where(has, iabs[i_star], tsblk).astype(jnp.int32),
             jnp.where(has, 0, trc),
             jnp.where(has, 0.0, trs),
             jnp.where(has, 0.0, trss),
@@ -473,7 +513,7 @@ def stream_scan_jump(
         )
 
     def track_phase(c):
-        (k, s, L, use_until, tstart, trc, trs, trss, trmn, trmx,
+        (k, s, L, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
          e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf, thr_out) = c
         cand = (idx >= k) & (on < L)
         has = cand.any()
@@ -492,14 +532,15 @@ def stream_scan_jump(
         h_cnt = jnp.maximum(trc2, 1).astype(dtype)
         h_mean = trs2 / h_cnt
         h_std = jnp.sqrt(jnp.maximum(trss2 / h_cnt - h_mean * h_mean, 0))
-        emit = has & (h_mean >= scfg.min_mean_db) & (dur >= scfg.min_dur_sec)
+        emit = has & (h_mean >= scfg.min_mean_db) & (iabs[j] - tsblk >= min_dur_b)
         slot = jnp.where(emit & (e_cnt < cap), e_cnt, cap)
         return (
             jnp.where(has, j + 1, n_blocks).astype(jnp.int32),
             jnp.where(has, DETECT, TRACK).astype(jnp.int32),
             L,
-            jnp.where(has, t_leave + scfg.after_wait_sec, use_until),
+            jnp.where(has, iabs[j] + (lock_tail - 1), luntil).astype(jnp.int32),
             tstart,
+            tsblk,
             trc2, trs2, trss2, trmn2, trmx2,
             e_ts.at[slot].set(tstart, mode="drop"),
             e_tp.at[slot].set(t_leave, mode="drop"),
@@ -518,7 +559,7 @@ def stream_scan_jump(
         lambda c: jax.lax.cond(c[1] == DETECT, detect_phase, track_phase, c),
         carry0,
     )
-    (k, s, L, use_until, tstart, trc, trs, trss, trmn, trmx,
+    (k, s, L, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
      e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf, thr_out) = carry
 
     events = StreamEvents(
@@ -537,8 +578,9 @@ def stream_scan_jump(
         block_idx=i_end,
         ring=ring,
         locked_threshold=L,
-        use_locked_until=use_until,
+        locked_until_block=luntil,
         track_start_sec=tstart,
+        track_start_block=tsblk,
         tr_count=trc, tr_sum=trs, tr_sumsq=trss, tr_min=trmn, tr_max=trmx,
         init_sum=isum, init_count=icnt, psd_db_mean_from_init=pinit,
     )
@@ -623,21 +665,22 @@ def stream_scan(
     dtype = over_noise.dtype
     w = scfg.avg_win
     bs = jnp.asarray(scfg.block_sec, dtype)
+    lock_tail = lock_tail_blocks(scfg.after_wait_sec, scfg.block_sec)
+    min_dur_b = min_duration_blocks(scfg.min_dur_sec, scfg.block_sec)
     base_thr, ext = _ring_base_thresholds(
         state.ring, state.block_idx, over_noise, w, scfg.k_std, dtype
     )
 
     def body(carry, inp):
-        (st_state, locked, use_until, tstart, trc, trs, trss, trmn, trmx,
+        (st_state, locked, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
          isum, icnt, pinit, i) = carry
         on, pm, bt = inp
         t_start = i.astype(dtype) * bs
-        t_end = (i + 1).astype(dtype) * bs
 
         thr = jnp.where(
             st_state == TRACK,
             locked,
-            jnp.where((st_state == DETECT) & (use_until > t_end), locked, bt),
+            jnp.where((st_state == DETECT) & (i <= luntil), locked, bt),
         )
 
         new_isum = isum + pm
@@ -657,7 +700,7 @@ def stream_scan(
         h_cnt = jnp.maximum(n_trc, 1).astype(dtype)
         h_mean = n_trs / h_cnt
         h_std = jnp.sqrt(jnp.maximum(n_trss / h_cnt - h_mean * h_mean, 0))
-        accept = (h_mean >= scfg.min_mean_db) & (dur >= scfg.min_dur_sec)
+        accept = (h_mean >= scfg.min_mean_db) & (i - tsblk >= min_dur_b)
 
         is_init = st_state == INIT
         is_detect = st_state == DETECT
@@ -678,8 +721,9 @@ def stream_scan(
         new_carry = (
             next_state,
             jnp.where(start_track, thr, locked),
-            jnp.where(is_track & leave_track, t_start + scfg.after_wait_sec, use_until),
+            jnp.where(is_track & leave_track, i + (lock_tail - 1), luntil).astype(jnp.int32),
             jnp.where(start_track, t_start, tstart),
+            jnp.where(start_track, i, tsblk).astype(jnp.int32),
             jnp.where(start_track, 0, jnp.where(is_track, n_trc, trc)),
             jnp.where(start_track, 0.0, jnp.where(is_track, n_trs, trs)),
             jnp.where(start_track, 0.0, jnp.where(is_track, n_trss, trss)),
@@ -694,8 +738,9 @@ def stream_scan(
         return new_carry, out
 
     carry0 = (
-        state.state, state.locked_threshold, state.use_locked_until,
-        state.track_start_sec, state.tr_count, state.tr_sum, state.tr_sumsq,
+        state.state, state.locked_threshold, state.locked_until_block,
+        state.track_start_sec, state.track_start_block,
+        state.tr_count, state.tr_sum, state.tr_sumsq,
         state.tr_min, state.tr_max, state.init_sum, state.init_count,
         state.psd_db_mean_from_init, state.block_idx,
     )
@@ -739,15 +784,16 @@ def stream_scan(
     k_last = i_end - w + jnp.mod(s - i_end, w)
     ring = ext[k_last - (state.block_idx - w)].astype(state.ring.dtype)
 
-    (st_state, locked, use_until, tstart, trc, trs, trss, trmn, trmx,
+    (st_state, locked, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
      isum, icnt, pinit, i_final) = carry
     state = StreamState(
         state=st_state,
         block_idx=i_final,
         ring=ring,
         locked_threshold=locked,
-        use_locked_until=use_until,
+        locked_until_block=luntil,
         track_start_sec=tstart,
+        track_start_block=tsblk,
         tr_count=trc,
         tr_sum=trs,
         tr_sumsq=trss,

@@ -66,19 +66,29 @@ def oracle_streaming(
     min_dur_sec,
 ):
     """dsp/src/live/backend/processor.py:176-510 state machine semantics,
-    driven by precomputed per-block over-noise and mean-PSD series."""
+    driven by precomputed per-block over-noise and mean-PSD series.
+
+    Lock-window and minimum-duration comparisons use exact integer block
+    arithmetic (matching models/streaming.py): the reference's float
+    ``use_locked_until > block_end_sec`` / ``duration >= min_dur`` equal
+    these everywhere except exact real-arithmetic ties, where float
+    rounding direction is unspecified (FMA-contraction-dependent)."""
+    import math
+
+    lock_tail = int(math.ceil(after_wait_sec / block_sec - 1e-9)) - 1
+    min_dur_blocks = int(math.ceil(min_dur_sec / block_sec - 1e-9))
     state = "init"
     history = []
     init_hist = []
     locked = -1.0
-    use_until = -1.0
+    locked_until_block = -1
     t0 = 0.0
+    t0_block = 0
     track_hist = []
     events = []
     thresholds = []
     for i in range(len(over_noise)):
         t_start = i * block_sec
-        t_end = (i + 1) * block_sec
         on = over_noise[i]
 
         window = history[-avg_win:]
@@ -88,7 +98,7 @@ def oracle_streaming(
         thr = m + k * s
         if state == "track":
             thr = locked
-        elif state == "detect" and use_until > t_end:
+        elif state == "detect" and i <= locked_until_block:
             thr = locked
         thresholds.append(thr)
 
@@ -100,6 +110,7 @@ def oracle_streaming(
             if on > thr:
                 locked = thr
                 t0 = t_start
+                t0_block = i
                 track_hist = []
                 state = "track"
         elif state == "track":
@@ -107,7 +118,7 @@ def oracle_streaming(
             if on < thr:
                 dur = t_start - t0
                 h = np.array(track_hist)
-                if np.mean(h) >= min_mean_db and dur >= min_dur_sec:
+                if np.mean(h) >= min_mean_db and i - t0_block >= min_dur_blocks:
                     events.append(
                         dict(
                             time_start=t0,
@@ -119,6 +130,6 @@ def oracle_streaming(
                             db_std=float(h.std()),
                         )
                     )
-                use_until = t_start + after_wait_sec
+                locked_until_block = i + (lock_tail - 1)
                 state = "detect"
     return events, np.array(thresholds)

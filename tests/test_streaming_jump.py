@@ -44,15 +44,16 @@ def default_cfg(**kw):
     return StreamConfig(**d)
 
 
-# Exact: integer state, boundary times (single-rounded products i*bs), and
-# threshold values (copies of the shared base-threshold computation).
+# Exact: integer state (incl. the integer-block lock window and entry
+# block), boundary times (single-rounded products i*bs), and threshold
+# values (copies of the shared base-threshold computation).
 # Close: accumulated statistics (masked vector sums vs sequential adds) and
-# product-minus/plus-product expressions (duration, lock expiry) where XLA
-# may fuse the multiply into an FMA in one graph but not the other — a
-# one-ulp difference observed in practice on the CPU backend.
-EXACT_STATE = ("state", "block_idx", "locked_threshold",
-               "track_start_sec", "tr_count", "init_count")
-CLOSE_STATE = ("use_locked_until", "tr_sum", "tr_sumsq", "tr_min", "tr_max",
+# the reported float duration (product-minus-product, which XLA may fuse
+# into an FMA in one graph but not the other — a one-ulp difference
+# observed in practice on the CPU backend; decisions never depend on it).
+EXACT_STATE = ("state", "block_idx", "locked_threshold", "locked_until_block",
+               "track_start_sec", "track_start_block", "tr_count", "init_count")
+CLOSE_STATE = ("tr_sum", "tr_sumsq", "tr_min", "tr_max",
                "init_sum", "psd_db_mean_from_init")
 EXACT_EV = ("time_start", "time_stop")
 CLOSE_EV = ("duration", "db_min", "db_max", "db_mean", "db_std")
