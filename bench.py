@@ -100,39 +100,49 @@ def tpu_pipeline(x_np: np.ndarray):
     # NOTE: the projection matrix is a jit *argument*, not a closure — the
     # remote TPU compiler handles large baked-in literals pathologically
     # slowly (minutes vs seconds).
+    #
+    # In-graph chained timing: k dependent pipeline executions run inside
+    # ONE dispatch (fori_loop, k a traced scalar so a single compile), with
+    # the data dependency threaded through the projection matrix (eps is
+    # derived from the previous iteration's threshold, so XLA cannot
+    # reorder or elide iterations; Mj is tiny, the add is noise).  One
+    # launch per measurement makes the result immune to host/tunnel
+    # dispatch latency, which on this backend can exceed the device time
+    # itself by an order of magnitude (host-loop chaining measured 2 ms
+    # "per execution" on a day the tunnel was slow, vs 0.23 ms r01).
     @jax.jit
-    def run(x, Mj):
-        frames = frame_signal(x, BLOCK, BLOCK)
-        band, noise = band_power_db(frames, Mj, slices)
-        delta = band - noise
-        thr, above, s_incl, csm = adaptive_solver_fused(
-            delta, K_STD, WINDOW_BLOCKS, FREEZE_BEFORE, FREEZE_AFTER, FIXED_INIT
+    def runk(x, Mj, k):
+        def body(_, carry):
+            _, t = carry
+            eps = jnp.where(jnp.isnan(t), jnp.float32(1.0), jnp.float32(0.0))
+            frames = frame_signal(x, BLOCK, BLOCK)
+            band, noise = band_power_db(frames, Mj + eps, slices)
+            delta = band - noise
+            thr, above, s_incl, csm = adaptive_solver_fused(
+                delta, K_STD, WINDOW_BLOCKS, FREEZE_BEFORE, FREEZE_AFTER, FIXED_INIT
+            )
+            ev = events_from_run_sums(s_incl, csm, above, cap=4096)
+            return ev.count, thr[-1]
+
+        return jax.lax.fori_loop(
+            0, k, body, (jnp.asarray(0, jnp.int32), jnp.float32(0.0))
         )
-        ev = events_from_run_sums(s_incl, csm, above, cap=4096)
-        return ev.count, thr[-1]
 
     x = jnp.asarray(x_np)
     # warm-up / compile (block_until_ready is unreliable on the tunneled
     # backend, so force a host readback)
-    int(np.asarray(run(x, Mj)[0]))
+    int(np.asarray(runk(x, Mj, 1)[0]))
 
-    # Chained timing: launch K dependent executions, read back once, and
-    # subtract the single-execution round trip — isolates device time from
-    # tunnel latency.  When host noise exceeds the device time (tk <= t1,
-    # e.g. a loaded machine), fall back to the round-trip-inclusive upper
-    # bound tk/K instead of reporting a nonsense near-zero time.
-    def chained(k):
+    def timed(k):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = run(x, Mj)
+        out = runk(x, Mj, k)
         np.asarray(out[0])
         return time.perf_counter() - t0
 
     reps = 3
     k = 21
-    t1 = min(chained(1) for _ in range(reps))
-    tk = min(chained(k) for _ in range(reps))
+    t1 = min(timed(1) for _ in range(reps))
+    tk = min(timed(k) for _ in range(reps))
     dt = (tk - t1) / (k - 1)
     if dt <= 0:
         print("# warning: chained timing noise-bound; reporting the "

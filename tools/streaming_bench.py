@@ -73,6 +73,20 @@ def main(argv=None) -> int:
             st2, ev, _ = stream_process(cfg, st, xj, fs, front=front, impl=impl)
             return st2, ev
 
+        # In-graph chained timing: k dependent runs in ONE dispatch, immune
+        # to host/tunnel dispatch latency (which can reach ms on this
+        # backend).  The front half depends only on x, so XLA would hoist
+        # it out of the loop as invariant — eps (derived from the carried
+        # state, provably 0 but unprovable to the compiler) keeps every
+        # iteration's full pipeline in the loop body.
+        @jax.jit
+        def runk(xj, st, k, front=front, impl=impl):
+            def body(_, s):
+                eps = jnp.where(jnp.isnan(s.tr_sum), jnp.float32(1.0), jnp.float32(0.0))
+                s2, _, _ = stream_process(cfg, s, xj + eps, fs, front=front, impl=impl)
+                return s2
+            return jax.lax.fori_loop(0, k, body, st)
+
         st0 = stream_init(scfg)
         st, ev = run(x, st0)
         cnt = int(np.asarray(ev.count))
@@ -86,12 +100,12 @@ def main(argv=None) -> int:
             print(f"# {combo}: events_equal_to_{args.combos.split(',')[0]}={same}",
                   file=sys.stderr)
 
-        def chained(k, run=run, st0=st0):
+        int(np.asarray(runk(x, st0, 1).block_idx))  # compile + warm
+
+        def chained(k, runk=runk, st0=st0):
             t0 = time.perf_counter()
-            s, ev2 = st0, None
-            for _ in range(k):
-                s, ev2 = run(x, s)
-            np.asarray(ev2.count)
+            sK = runk(x, st0, k)
+            np.asarray(sK.block_idx)
             return time.perf_counter() - t0
 
         t1 = min(chained(1) for _ in range(args.reps))
