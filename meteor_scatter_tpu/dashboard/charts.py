@@ -147,59 +147,65 @@ def _dual_axis_bars(x_labels, anzahl, kritisch, xlabel, title, tick_every=1, sho
 
 
 def create_zeiger_chart(storage_path: str, gauge_upper: int = 100, gauge_lower: int = 0) -> str:
-    """Half-circle gauge of yesterday's hourly average (plot.py:97-192)."""
+    """Half-dial gauge of yesterday's hourly average.
+
+    Visual contract shared with the reference (plot.py:97-192): a 0-100
+    half dial with a yellow→black severity gradient, a black needle, and
+    yesterday's date in the title.  The construction is this repo's own:
+    a polar axes clipped to the upper half-plane, the dial face drawn as
+    one pcolormesh ring sampled from the severity colormap, value labels
+    as ordinary polar x-ticks, and the needle as a single polar line.
+    """
     store = LedgerStore("", storage_path)
     value = store.average_last_24h()
     if not HAVE_MPL:
         return _placeholder_png(f"avg {value}")
 
+    lo, hi = float(gauge_lower), float(gauge_upper)
+    span = max(hi - lo, 1.0)
+    frac = min(max((float(value) - lo) / span, 0.0), 1.0)
+
     cmap = LinearSegmentedColormap.from_list(
-        "gauge", ["yellow", "orange", "red", "darkred", "black"]
+        "severity", ["yellow", "orange", "red", "darkred", "black"]
     )
-    n_seg = 100
-    fig, ax = plt.subplots(figsize=(10, 6), subplot_kw={"aspect": "equal"})
-    fig.subplots_adjust(top=0.8)
+
+    fig = plt.figure(figsize=(10, 6))
     fig.patch.set_facecolor("lightgrey")
     fig.patch.set_alpha(0.5)
-    ax.set_facecolor("lightgrey")
-    ax.patch.set_alpha(0.5)
+    ax = fig.add_subplot(projection="polar")
+    ax.set_facecolor("none")
+    ax.set_thetamin(0)  # lower bound on the left, like an analog meter
+    ax.set_thetamax(180)
+    ax.set_ylim(0.0, 1.0)
 
-    colors = cmap(np.linspace(0, 1, n_seg))
-    wedges, _ = ax.pie(
-        [1] * n_seg,
-        radius=1.2,
-        startangle=180,
-        counterclock=False,
-        colors=colors,
-        wedgeprops={"width": 0.55, "edgecolor": "none"},
-    )
-    for i, wdg in enumerate(wedges):
-        if i >= n_seg // 2:
-            wdg.set_visible(False)
+    # Dial face: a single mesh ring, one quad per sampled angle.
+    theta_edges = np.linspace(np.pi, 0.0, 257)
+    radius_edges = np.array([0.72, 1.0])
+    tt, rr = np.meshgrid(theta_edges, radius_edges)
+    theta_mid = 0.5 * (theta_edges[:-1] + theta_edges[1:])
+    severity = ((np.pi - theta_mid) / np.pi)[None, :]
+    ax.pcolormesh(tt, rr, severity, cmap=cmap, vmin=0.0, vmax=1.0, shading="flat")
 
-    steps = list(range(int(gauge_lower), int(gauge_upper) + 1, 50))
-    for value_tick, angle in zip(steps, np.linspace(180, 0, len(steps))):
-        x = 1.4 * np.cos(np.radians(angle))
-        y = 1.4 * np.sin(np.radians(angle))
-        ax.text(x, y, f"{value_tick}", fontsize=14, ha="center", va="center", color="black")
+    # Value labels ride the polar tick machinery.
+    tick_fracs = np.linspace(0.0, 1.0, 5)
+    ax.set_xticks(np.pi * (1.0 - tick_fracs))
+    ax.set_xticklabels([f"{lo + f * span:.0f}" for f in tick_fracs], fontsize=14)
+    ax.set_yticks([])
+    ax.grid(False)
+    ax.spines["polar"].set_visible(False)
 
-    angle = 180 - (180 * (min(value, gauge_upper) / gauge_upper))
-    ax.plot(
-        [0, np.cos(np.radians(angle))],
-        [0, np.sin(np.radians(angle))],
-        color="black",
-        linewidth=3,
-        zorder=10,
-    )
-    ax.add_patch(plt.Circle((0, 0), 0.05, color="black", zorder=11))
-    ax.text(0, -0.3, f"Wert: {value}", fontsize=14, ha="center", color="black")
+    # Needle and hub.
+    theta_v = np.pi * (1.0 - frac)
+    ax.plot([theta_v, theta_v], [0.0, 0.62], color="black", linewidth=3,
+            solid_capstyle="round", zorder=5)
+    ax.scatter([0.0], [0.0], s=160, color="black", zorder=6, clip_on=False)
 
     datum = (datetime.datetime.now() - datetime.timedelta(days=1)).strftime("%Y-%m-%d")
-    fig.suptitle(f"Durchschnitt pro Stunde\nvom {datum}", fontsize=16, color="black", y=0.99)
-    buf = io.BytesIO()
-    fig.savefig(buf, format="png", bbox_inches="tight", dpi=DPI)
-    plt.close(fig)
-    return base64.b64encode(buf.getvalue()).decode("utf-8")
+    fig.subplots_adjust(top=0.72, bottom=0.08)
+    ax.set_title(f"Durchschnitt pro Stunde\nvom {datum}", fontsize=16, pad=18)
+    ax.text(0.5, 0.02, f"Wert: {value}", fontsize=14, ha="center",
+            transform=ax.transAxes)
+    return _fig_to_base64(fig)
 
 
 def create_tagesverlauf_chart(storage_path: str) -> str:

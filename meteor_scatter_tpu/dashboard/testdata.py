@@ -40,12 +40,17 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("out_dir")
     p.add_argument("--days", type=int, default=31)
+    p.add_argument("--start", default="2024-10-15",
+                   help="first day of the fixture window (default matches the "
+                        "reference testfiles range)")
     p.add_argument("--end-yesterday", action="store_true",
-                   help="generate the window ending yesterday (dashboard-ready)")
+                   help="ignore --start and generate the window ending "
+                        "yesterday (dashboard-ready)")
     args = p.parse_args()
     if args.end_yesterday:
-        start = datetime.date.today() - datetime.timedelta(days=args.days)
+        yesterday = datetime.date.today() - datetime.timedelta(days=1)
+        start = yesterday - datetime.timedelta(days=args.days - 1)
     else:
-        start = datetime.date.today() - datetime.timedelta(days=args.days)
+        start = datetime.date.fromisoformat(args.start)
     generate_test_csvs(args.out_dir, start, args.days)
     print(f"Wrote {args.days} daily CSVs to {args.out_dir}")

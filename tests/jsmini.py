@@ -804,7 +804,7 @@ class Interpreter:
                 return "function"
             return "object"
         if kind in ("preincr", "postincr"):
-            tgt = e[2] if kind == "preincr" else e[2]
+            tgt = e[2]
             old = self.eval(tgt, env, this)
             new = old + (1 if e[1] == "++" else -1)
             self.assign_to(tgt, new, env, this)
