@@ -21,6 +21,7 @@ from meteor_scatter_tpu.dashboard.testdata import generate_test_csvs
 _DASH = os.path.join(os.path.dirname(__file__), "..", "meteor_scatter_tpu", "dashboard")
 SCRIPT_JS = open(os.path.join(_DASH, "static", "script.js"), encoding="utf-8").read()
 TEMPLATE = open(os.path.join(_DASH, "templates", "index.html"), encoding="utf-8").read()
+STYLES = open(os.path.join(_DASH, "static", "styles.css"), encoding="utf-8").read()
 
 
 def call_wsgi(app, path, method="GET"):
@@ -57,6 +58,15 @@ def chart_types_in_js():
     return re.findall(r'"(\w+)"', m.group(1))
 
 
+
+def css_selector_classes(css: str) -> set:
+    """Class names appearing in CSS *selectors* (comments and declaration
+    blocks stripped, so decimal lengths and hex colors can't leak in)."""
+    css = re.sub(r"/\*.*?\*/", "", css, flags=re.S)
+    selectors = re.sub(r"\{[^}]*\}", "\n", css)
+    return set(re.findall(r"\.([a-zA-Z][\w\-]*)", selectors))
+
+
 class TestDomContract:
     def test_every_get_element_id_exists_in_template(self):
         ids = set(re.findall(r'getElementById\("([\w-]+)"\)', SCRIPT_JS))
@@ -68,6 +78,54 @@ class TestDomContract:
         for name in ("SCRIPT_ROOT", "RELOAD_INTERVAL"):
             assert re.search(rf"const {name} =", TEMPLATE), name
             assert name in SCRIPT_JS
+
+    def test_js_assigned_classes_are_styled(self):
+        """Every class name the JS assigns must have a CSS rule — jsmini's
+        DOM stub can't catch an unstyled (invisible) element."""
+        assigned = set()
+        for m in re.findall(r'className\s*=\s*"([\w\- ]+)"', SCRIPT_JS):
+            assigned.update(m.split())
+        for cond in re.findall(r'className\s*=\s*[^;]*\?\s*"([\w\- ]+)"\s*:\s*"([\w\- ]+)"', SCRIPT_JS):
+            for part in cond:
+                assigned.update(part.split())
+        assert "dot" in assigned and "active" in assigned  # sanity: parser saw them
+        css_classes = css_selector_classes(STYLES)
+        missing = assigned - css_classes
+        assert not missing, f"JS assigns classes with no CSS rule: {missing}"
+
+    def test_css_id_selectors_exist_in_template(self):
+        css_ids = {
+            t for t in re.findall(r"#([\w\-]+)", STYLES)
+            if not re.fullmatch(r"[0-9a-fA-F]{3,8}", t)  # hex colors aren't ids
+        }
+        template_ids = set(re.findall(r'id="([\w\-]+)"', TEMPLATE))
+        missing = css_ids - template_ids
+        assert not missing, f"CSS styles ids absent from index.html: {missing}"
+
+    def test_css_class_selectors_resolve(self):
+        """Every CSS class selector must match a template class or a
+        JS-assigned class — catches renames that silently unstyle a node."""
+        css_classes = css_selector_classes(STYLES)
+        template_classes = set()
+        for m in re.findall(r'class="([\w\- ]+)"', TEMPLATE):
+            template_classes.update(m.split())
+        js_classes = set()
+        for m in re.findall(r'"([\w\- ]+)"', SCRIPT_JS):
+            js_classes.update(m.split())
+        unresolved = css_classes - template_classes - js_classes
+        assert not unresolved, f"CSS classes matching nothing: {unresolved}"
+
+    def test_template_classes_have_some_styling_context(self):
+        """Template classes should either have a CSS rule or be plain layout
+        wrappers styled via element selectors; flag fully unknown ones so a
+        typo'd class fails instead of rendering unstyled."""
+        css_classes = css_selector_classes(STYLES)
+        known_wrappers = {"slideshow-panel", "side-panel", "missing-panel"}
+        template_classes = set()
+        for m in re.findall(r'class="([\w\- ]+)"', TEMPLATE):
+            template_classes.update(m.split())
+        unknown = template_classes - css_classes - known_wrappers
+        assert not unknown, f"template classes with no CSS rule: {unknown}"
 
     def test_rendered_index_substitutes_globals(self, app):
         status, _, body = call_wsgi(app, "/")
