@@ -265,9 +265,14 @@ def stations_pipeline(
         stream_init_batch,
         stream_scan,
         stream_scan_jump,
+        stream_scan_jump_batch,
     )
 
-    solver = {"scan": stream_scan, "jump": stream_scan_jump}[impl]
+    solver = {
+        "scan": stream_scan,
+        "jump": stream_scan_jump,
+        "hop": stream_scan_jump_batch,
+    }[impl]
 
     fs = 4000
     cfg = DetectionConfig(
@@ -388,6 +393,76 @@ def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
     return n / dt
 
 
+def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
+    """BASELINE config 4 **at spec**: a 2 MS/s complex I/Q capture through
+    the one-matmul DDC channelizer into per-station streaming detection —
+    capture → channelize_iq → stream_front_headless → episode-jump solver,
+    ONE jitted program (VERDICT r2 item 5).  Station offsets span both
+    halves of the complex capture (negative offsets are unreachable from a
+    real capture).  Returns complex input samples/s; the time-sharded form
+    of the same chain is `parallel/sharded.py::sharded_channelize_iq` +
+    `sharded_stream_process`, pinned sharded==unsharded in
+    tests/test_parallel.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from meteor_scatter_tpu.apps.frontend import synth_wideband_iq
+    from meteor_scatter_tpu.config import DetectionConfig
+    from meteor_scatter_tpu.models.streaming import (
+        StreamConfig,
+        stream_front_headless,
+        stream_init_batch,
+        stream_scan_jump_batch,
+    )
+    from meteor_scatter_tpu.ops.fir import channelize_iq
+
+    fs = 2_000_000
+    audio_rate = 4000
+    tone = 1000.0
+    decim = fs // audio_rate  # 500, exact
+    half = n_stations // 2
+    freqs = [50_000.0 * (i - half) or 25_000.0 for i in range(n_stations)]
+    centers = np.asarray([f - tone for f in freqs])
+    x_re, x_im, _ = synth_wideband_iq(fs, seconds, freqs, seed=3)
+
+    cfg = DetectionConfig(
+        signal_freq=tone,
+        detection_db_over_noise_mean_min=1.0,
+        detection_dur_min_sec=0.5,
+    )
+    scfg = StreamConfig.from_config(cfg)
+
+    @jax.jit
+    def run(xr, xi, st):
+        audio, _ = channelize_iq(
+            xr, xi, fs, centers, bandwidth=1500.0, decim=decim, numtaps=2001
+        )
+        on, pm, _ = stream_front_headless(cfg, audio, audio_rate)
+        st2, ev, _ = jax.vmap(
+            lambda s, o, p: stream_scan_jump_batch(scfg, s, o, p)
+        )(st, on, pm)
+        return st2, ev.count
+
+    st0 = stream_init_batch(scfg, n_stations)
+    xr = jnp.asarray(x_re)
+    xi = jnp.asarray(x_im)
+    st, counts = run(xr, xi, st0)
+    np.asarray(counts)
+
+    def chained(k):
+        t0 = time.perf_counter()
+        s, out = st0, None
+        for _ in range(k):
+            s, out = run(xr, xi, s)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    t1 = min(chained(1) for _ in range(2))
+    tk = min(chained(6) for _ in range(2))
+    dt = max((tk - t1) / 5.0, 1e-9)
+    return x_re.size / dt
+
+
 import contextlib
 
 
@@ -499,6 +574,18 @@ def main() -> int:
             extra["channelizer_input_samples_per_sec"] = round(fe_sps)
         except Exception as e:  # noqa: BLE001
             print(f"# tpu channelizer metric skipped: {e}", file=sys.stderr)
+
+    # secondary metric (opt-in): BASELINE config 4 at spec — 2 MS/s complex
+    # IQ capture → channelize → per-station streaming detection, one program
+    if "--frontend-iq" in sys.argv:
+        try:
+            fi_sps = frontend_iq_pipeline()
+            print(f"# tpu IQ frontend end-to-end (8ch @ 2 MS/s complex): "
+                  f"{fi_sps / 1e9:.2f} G input samples/s "
+                  f"({fi_sps / 2e6:,.0f}x realtime)", file=sys.stderr)
+            extra["frontend_iq_2msps_samples_per_sec"] = round(fi_sps)
+        except Exception as e:  # noqa: BLE001
+            print(f"# tpu IQ frontend metric skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(

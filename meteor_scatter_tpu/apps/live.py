@@ -215,10 +215,12 @@ def main(argv=None) -> int:
     p.add_argument("--headless", action="store_true",
                    help="bins-only front half (no PSD waterfall/exports/UI); "
                         "band numerics within f32 noise of the Welch path")
-    p.add_argument("--impl", choices=("scan", "jump"), default="scan",
+    p.add_argument("--impl", choices=("scan", "jump", "hop"), default="scan",
                    help="block-rate solver: reference-formulation scan or the "
-                        "episode-jump fast path (bit-exact event boundaries, "
-                        "dB stats to f32 reduction order)")
+                        "episode-jump fast paths — 'jump' (full-series "
+                        "searches) or 'hop' (windowed, built for wide "
+                        "batches); both give bit-exact event boundaries, "
+                        "dB stats to f32 reduction order")
     args = p.parse_args(argv)
     if args.headless and (args.ui or args.spec_export_dir):
         p.error("--headless excludes --ui and --spec-export-dir (both need the PSD waterfall)")

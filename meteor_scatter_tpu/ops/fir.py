@@ -176,6 +176,86 @@ def _conv1d(x, taps, stride, pad, lhs_dilation):
     return y.reshape(orig_shape[:-1] + (y.shape[-1],))
 
 
+def _bank_tables(
+    fs_i: int,
+    freqs: list,
+    taps: np.ndarray,
+    q: int,
+    a_cols: int,
+    m: int,
+    pl: int,
+):
+    """Host-side tables for the one-matmul DDC bank (see :func:`_channel_bank`):
+    the (q, 2·C·A) polyphase tap matrix with the intra-frame mixer folded in
+    by angle addition, and the (C, m) output-rate row phases.  Row phases are
+    exact integer arithmetic mod fs for frame row ri at padded offset
+    ``ri·q − pl``."""
+    t = len(taps)
+    rev = np.asarray(taps, np.float64)[::-1]
+    hp = np.zeros((q, a_cols), np.float64)
+    for tap in range(t):
+        hp[tap % q, tap // q] = rev[tap]
+
+    c_n = len(freqs)
+    hh = np.zeros((q, 2, c_n, a_cols), np.float64)
+    b_idx = np.arange(q, dtype=np.int64)
+    for c, fc in enumerate(freqs):
+        ang_b = 2.0 * np.pi * ((b_idx * (fc % fs_i)) % fs_i) / fs_i
+        hh[:, 0, c, :] = np.cos(ang_b)[:, None] * hp
+        hh[:, 1, c, :] = np.sin(ang_b)[:, None] * hp
+    hh_j = jnp.asarray(hh.reshape(q, 2 * c_n * a_cols), jnp.float32)
+
+    ri = np.arange(m, dtype=np.int64)
+    cr = np.empty((c_n, m), np.float32)
+    sr = np.empty((c_n, m), np.float32)
+    for c, fc in enumerate(freqs):
+        p = ((ri * q - pl) * fc) % fs_i
+        ang = 2.0 * np.pi * p / fs_i
+        cr[c] = np.cos(ang)
+        sr[c] = np.sin(ang)
+    return hh_j, jnp.asarray(cr), jnp.asarray(sr)
+
+
+def _bank_apply(
+    f: jnp.ndarray,  # (..., m, q) frames of the padded signal
+    hh_j: jnp.ndarray,
+    cr_j: jnp.ndarray,
+    sr_j: jnp.ndarray,
+    c_n: int,
+    a_cols: int,
+    n_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device half of the DDC bank: one MXU matmul + per-row phase rotation.
+
+    dc = Σ_a cr·G_cos − sr·G_sin ; ds = Σ_a sr·G_cos + cr·G_sin
+    (angle addition: cos(r+b) = cr·cb − sr·sb, sin(r+b) = sr·cb + cr·sb).
+    """
+    batch = f.shape[:-2]
+    m = f.shape[-2]
+    g = jnp.dot(f, hh_j, precision=jax.lax.Precision.HIGHEST)
+    g = g.reshape(batch + (m, 2, c_n, a_cols))
+    dc = jnp.zeros(batch + (c_n, n_out), jnp.float32)
+    ds = jnp.zeros_like(dc)
+    for a in range(a_cols):
+        gc = jnp.moveaxis(g[..., a : a + n_out, 0, :, a], -1, -2)  # (..., C, n_out)
+        gs = jnp.moveaxis(g[..., a : a + n_out, 1, :, a], -1, -2)
+        crs = cr_j[:, a : a + n_out]
+        srs = sr_j[:, a : a + n_out]
+        dc = dc + crs * gc - srs * gs
+        ds = ds + srs * gc + crs * gs
+    return dc, ds
+
+
+def _validated_int_rate_and_freqs(fs: float, center_freqs) -> Tuple[int, list]:
+    fs_i = int(round(fs))
+    if abs(fs - fs_i) > 1e-6:
+        raise ValueError("channelize requires an integer sample rate")
+    freqs = [int(round(f)) for f in np.asarray(center_freqs).ravel()]
+    if any(abs(f - g) > 1e-9 for f, g in zip(np.asarray(center_freqs).ravel(), freqs)):
+        raise ValueError("channel centers must be integer Hz")
+    return fs_i, freqs
+
+
 def _channel_bank(
     x: jnp.ndarray,
     fs: float,
@@ -207,54 +287,14 @@ def _channel_bank(
     this reads x once).  Mixer phases are exact integer arithmetic mod fs.
     """
     n = x.shape[-1]
-    fs_i = int(round(fs))
-    if abs(fs - fs_i) > 1e-6:
-        raise ValueError("channelize requires an integer sample rate")
-    freqs = [int(round(f)) for f in np.asarray(center_freqs).ravel()]
-    if any(abs(f - g) > 1e-9 for f, g in zip(np.asarray(center_freqs).ravel(), freqs)):
-        raise ValueError("channel centers must be integer Hz")
+    fs_i, freqs = _validated_int_rate_and_freqs(fs, center_freqs)
     h = firwin_lowpass(numtaps, bandwidth / 2.0, fs)
 
     q, c_n = int(decim), len(freqs)
-    pl, n_out, a_cols, hp, m = _polyphase_plan(n, h, q)
-
-    # per-channel polyphase taps with the intra-frame mixer folded in:
-    # HH[b, (io, c, a)] = cos/sin(2π·fc·b/fs) · hp[b, a]
-    hh = np.zeros((q, 2, c_n, a_cols), np.float64)
-    b_idx = np.arange(q, dtype=np.int64)
-    for c, fc in enumerate(freqs):
-        ang_b = 2.0 * np.pi * ((b_idx * (fc % fs_i)) % fs_i) / fs_i
-        hh[:, 0, c, :] = np.cos(ang_b)[:, None] * hp
-        hh[:, 1, c, :] = np.sin(ang_b)[:, None] * hp
-    hh_j = jnp.asarray(hh.reshape(q, 2 * c_n * a_cols), jnp.float32)
-
-    # output-rate row phases: φ_row(c, ri) = 2π·fc·(ri·q − pl)/fs, exact ints
-    ri = np.arange(m, dtype=np.int64)
-    cr = np.empty((c_n, m), np.float32)
-    sr = np.empty((c_n, m), np.float32)
-    for c, fc in enumerate(freqs):
-        p = ((ri * q - pl) * fc) % fs_i
-        ang = 2.0 * np.pi * p / fs_i
-        cr[c] = np.cos(ang)
-        sr[c] = np.sin(ang)
-    cr_j, sr_j = jnp.asarray(cr), jnp.asarray(sr)
-
+    pl, n_out, a_cols, _, m = _polyphase_plan(n, h, q)
+    hh_j, cr_j, sr_j = _bank_tables(fs_i, freqs, h, q, a_cols, m, pl)
     f = _polyphase_frames(x, pl, m, q)
-    g = jnp.dot(f, hh_j, precision=jax.lax.Precision.HIGHEST)
-    g = g.reshape(x.shape[:-1] + (m, 2, c_n, a_cols))
-
-    # dc = Σ_a cr·G_cos − sr·G_sin ; ds = Σ_a sr·G_cos + cr·G_sin
-    # (angle addition: cos(r+b) = cr·cb − sr·sb, sin(r+b) = sr·cb + cr·sb)
-    dc = jnp.zeros(x.shape[:-1] + (c_n, n_out), jnp.float32)
-    ds = jnp.zeros_like(dc)
-    for a in range(a_cols):
-        gc = jnp.moveaxis(g[..., a : a + n_out, 0, :, a], -1, -2)  # (..., C, n_out)
-        gs = jnp.moveaxis(g[..., a : a + n_out, 1, :, a], -1, -2)
-        crs = cr_j[:, a : a + n_out]
-        srs = sr_j[:, a : a + n_out]
-        dc = dc + crs * gc - srs * gs
-        ds = ds + srs * gc + crs * gs
-    return dc, ds
+    return _bank_apply(f, hh_j, cr_j, sr_j, c_n, a_cols, n_out)
 
 
 def channelize(

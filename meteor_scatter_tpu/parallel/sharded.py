@@ -444,6 +444,7 @@ def sharded_stream_process(
         stream_init_batch,
         stream_scan,
         stream_scan_jump,
+        stream_scan_jump_batch,
     )
     from meteor_scatter_tpu.ops.welch import welch_freqs
 
@@ -465,8 +466,10 @@ def sharded_stream_process(
         solver = stream_scan
     elif impl == "jump":
         solver = stream_scan_jump
+    elif impl == "hop":
+        solver = stream_scan_jump_batch
     else:
-        raise ValueError(f"unknown impl {impl!r} (use 'scan' or 'jump')")
+        raise ValueError(f"unknown impl {impl!r} (use 'scan', 'jump' or 'hop')")
     headless = front == "bins"
 
     def local(xl, st):  # (C_loc, S_loc); state leaves (C_loc, ...)
@@ -511,6 +514,103 @@ def sharded_stream_process(
         diags["psd_db"] = out[4]
         diags["freqs"] = welch_freqs(fs, cfg.n_fft)
     return st2, ev, diags
+
+
+def sharded_channelize_iq(
+    x_re: jnp.ndarray,  # (S,) wideband I component
+    x_im: jnp.ndarray,  # (S,) wideband Q component
+    mesh: Mesh,
+    fs: float,
+    center_freqs,
+    bandwidth: float,
+    decim: int,
+    numtaps: int = 257,
+):
+    """Time-sharded one-matmul DDC bank — BASELINE config 4's wideband I/Q
+    front half at pod scale (`meteor_scatter_tpu.ops.fir.channelize_iq` is
+    the single-device form; reference anchor: the offline GQRX/HDSDR
+    resampling the reference assumes, `dsp/src/live/main.py:23,45`).
+
+    Each time shard frames its samples plus a ``(pl, (A−1)·q − pl)`` halo
+    and runs the same polyphase matmul + phase rotation as the unsharded
+    bank.  The mixer is linear and its phase is linear in the absolute
+    sample index, so the only global bookkeeping is one constant complex
+    rotation per (shard, channel):
+
+        φ_global(s) = φ_local(s_loc) + φ(k·S_loc)
+        ⟹  y_global = e^{−jθ_{k,c}} · y_local,  θ_{k,c} = 2π·((k·S_loc·f_c) mod fs)/fs
+
+    with θ computed in exact integer arithmetic on the host and passed in
+    as a per-shard table.  Equal to :func:`channelize_iq` up to one extra
+    f32 rotation per sample (the halo zeros at the stream edges match its
+    'same' padding); pinned in ``tests/test_parallel.py``.
+
+    Returns ``(y_re, y_im)``, each (C, n_out) sharded over the time axis.
+    """
+    from meteor_scatter_tpu.ops.fir import (
+        _bank_apply,
+        _bank_tables,
+        _validated_int_rate_and_freqs,
+        firwin_lowpass,
+    )
+
+    n = x_re.shape[-1]
+    if x_re.shape != x_im.shape:
+        raise ValueError(f"I/Q shape mismatch: {x_re.shape} vs {x_im.shape}")
+    fs_i, freqs = _validated_int_rate_and_freqs(fs, center_freqs)
+    q, c_n = int(decim), len(freqs)
+    n_time = mesh.shape[TIME_AXIS]
+    if n % (q * n_time):
+        raise ValueError(
+            f"samples ({n}) must divide into whole decimation frames per "
+            f"time shard (q·n_time = {q * n_time})"
+        )
+    t = int(numtaps)
+    pl = (t - 1) // 2
+    a_cols = -(-t // q)
+    rh = (a_cols - 1) * q - pl
+    if rh < 0:
+        raise ValueError("numtaps must be >= 2*decim for the sharded bank")
+    s_loc = n // n_time
+    n_out_loc = s_loc // q
+    m_loc = n_out_loc + a_cols - 1
+
+    h = firwin_lowpass(t, bandwidth / 2.0, fs)
+    hh_j, cr_j, sr_j = _bank_tables(fs_i, freqs, h, q, a_cols, m_loc, pl)
+
+    # per-(shard, channel) constant rotation, exact integer phase arithmetic
+    ks = np.arange(n_time, dtype=np.int64)[:, None] * s_loc
+    ph = (ks * np.asarray(freqs, np.int64)[None, :]) % fs_i
+    ang = 2.0 * np.pi * ph / fs_i
+    cth = jnp.asarray(np.cos(ang), jnp.float32)  # (n_time, C)
+    sth = jnp.asarray(np.sin(ang), jnp.float32)
+
+    def local(xr, xi, hh, cr, sr, ct, st):
+        xs = jnp.stack([xr.astype(jnp.float32), xi.astype(jnp.float32)])
+        xh = halo_exchange(xs, pl, rh, TIME_AXIS)  # (2, m_loc·q)
+        f = xh.reshape(2, m_loc, q)
+        dc, ds = _bank_apply(f, hh, cr, sr, c_n, a_cols, n_out_loc)
+        y_re = dc[0] + ds[1]  # channelize_iq combination
+        y_im = dc[1] - ds[0]
+        c = ct[0][:, None]  # (C, 1) — this shard's rotation
+        s = st[0][:, None]
+        return c * y_re + s * y_im, c * y_im - s * y_re
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(TIME_AXIS), P(TIME_AXIS),
+            P(), P(), P(),
+            P(TIME_AXIS, None), P(TIME_AXIS, None),
+        ),
+        out_specs=(P(None, TIME_AXIS), P(None, TIME_AXIS)),
+    )
+    return fn(
+        _place(x_re, mesh, TIME_AXIS), _place(x_im, mesh, TIME_AXIS),
+        hh_j, cr_j, sr_j,
+        _place(cth, mesh, TIME_AXIS, None), _place(sth, mesh, TIME_AXIS, None),
+    )
 
 
 def sharded_welch_blocks(

@@ -247,7 +247,7 @@ class TestShardedStreaming:
                     err_msg=f"state.{name} ch{c}",
                 )
 
-    @pytest.mark.parametrize("impl", ["scan", "jump"])
+    @pytest.mark.parametrize("impl", ["scan", "jump", "hop"])
     def test_headless_front_equals_unsharded(self, mesh, impl):
         # front="bins" composes with time sharding (and impl="jump" with
         # both): sharded must equal the single-device path bit-for-bit
@@ -291,7 +291,7 @@ class TestShardedStreaming:
                 jax.tree_util.tree_leaves(st),
                 jax.tree_util.tree_leaves(st_u),
             ):
-                if impl == "jump":
+                if impl in ("jump", "hop"):
                     # FMA/reduction-order noise between the two jitted
                     # graphs (see tests/test_streaming_jump.py)
                     np.testing.assert_allclose(
@@ -342,3 +342,110 @@ class TestShardedStreaming:
         x = jnp.zeros((2, 4000 * 3), jnp.float32)  # 3 s / 4 shards: not block-aligned
         with pytest.raises(ValueError):
             sharded_stream_process(cfg, None, x, 4000, mesh)
+
+
+class TestShardedChannelizerIQ:
+    """BASELINE config 4 at spec: the wideband I/Q front half time-sharded,
+    and the full IQ → channelize → per-station streaming chain sharded ==
+    unsharded (VERDICT r2 item 5)."""
+
+    FS = 64_000  # scaled-down stand-in for the 2 MS/s capture (CPU mesh)
+    AUDIO = 4000
+    TONE = 1000.0
+    # incommensurate offsets so the per-shard phase-rotation bookkeeping is
+    # genuinely exercised (multiples of fs/q would make every phase exact)
+    FREQS = [-17003.0, -7001.0, 6997.0, 15013.0]
+
+    @classmethod
+    def _capture(cls, seconds, seed=21):
+        rng = np.random.default_rng(seed)
+        n = int(cls.FS * seconds)
+        t = np.arange(n) / cls.FS
+        x_re = rng.standard_normal(n).astype(np.float32) * 0.1
+        x_im = rng.standard_normal(n).astype(np.float32) * 0.1
+        for c, fc in enumerate(cls.FREQS):
+            t0 = 9.5 + 1.3 * c  # past the 8 s streaming init window
+            m = (t >= t0) & (t < t0 + 1.5)
+            ph = 2 * np.pi * fc * t[m]
+            x_re[m] += 0.5 * np.cos(ph).astype(np.float32)
+            x_im[m] += 0.5 * np.sin(ph).astype(np.float32)
+        return x_re, x_im
+
+    def test_channelizer_equals_unsharded(self, mesh):
+        from meteor_scatter_tpu.ops.fir import channelize_iq
+        from meteor_scatter_tpu.parallel.sharded import sharded_channelize_iq
+
+        x_re, x_im = self._capture(4.0)
+        centers = np.asarray(self.FREQS) - self.TONE
+        kw = dict(bandwidth=1500.0, decim=16, numtaps=65)
+        yr_s, yi_s = sharded_channelize_iq(
+            jnp.asarray(x_re), jnp.asarray(x_im), mesh, self.FS, centers, **kw
+        )
+        yr_u, yi_u = channelize_iq(
+            jnp.asarray(x_re), jnp.asarray(x_im), self.FS, centers, **kw
+        )
+        n = min(yr_s.shape[-1], yr_u.shape[-1])
+        np.testing.assert_allclose(
+            np.asarray(yr_s)[:, :n], np.asarray(yr_u)[:, :n], atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(yi_s)[:, :n], np.asarray(yi_u)[:, :n], atol=2e-5
+        )
+
+    def test_iq_stream_chain_equals_unsharded(self, mesh):
+        from meteor_scatter_tpu.models.streaming import (
+            StreamConfig,
+            stream_init,
+            stream_process,
+        )
+        from meteor_scatter_tpu.ops.fir import channelize_iq
+        from meteor_scatter_tpu.parallel.sharded import (
+            sharded_channelize_iq,
+            sharded_stream_process,
+        )
+        from meteor_scatter_tpu.config import DetectionConfig
+
+        seconds = 16.0
+        x_re, x_im = self._capture(seconds)
+        centers = np.asarray(self.FREQS) - self.TONE
+        kw = dict(bandwidth=1500.0, decim=16, numtaps=65)
+        cfg = DetectionConfig(
+            signal_freq=self.TONE,
+            detection_db_over_noise_mean_min=1.0,
+            detection_dur_min_sec=0.5,
+        )
+
+        # sharded chain: DDC per time shard, audio re-sharded (station, time)
+        yr_s, _ = sharded_channelize_iq(
+            jnp.asarray(x_re), jnp.asarray(x_im), mesh, self.FS, centers, **kw
+        )
+        st_s, ev_s, _ = sharded_stream_process(
+            cfg, None, yr_s, self.AUDIO, mesh, front="bins", impl="hop"
+        )
+
+        # unsharded chain
+        yr_u, _ = channelize_iq(
+            jnp.asarray(x_re), jnp.asarray(x_im), self.FS, centers, **kw
+        )
+        total = 0
+        for c in range(len(self.FREQS)):
+            _, ev_u, _ = stream_process(
+                cfg,
+                stream_init(StreamConfig.from_config(cfg)),
+                yr_u[c],
+                self.AUDIO,
+                front="bins",
+                impl="hop",
+            )
+            cnt = int(ev_u.count)
+            total += cnt
+            assert int(np.asarray(ev_s.count)[c]) == cnt
+            np.testing.assert_array_equal(
+                np.asarray(ev_s.time_start)[c], np.asarray(ev_u.time_start),
+                err_msg=f"time_start ch{c}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ev_s.time_stop)[c], np.asarray(ev_u.time_stop),
+                err_msg=f"time_stop ch{c}",
+            )
+        assert total >= len(self.FREQS), "every station's burst must be found"

@@ -1,0 +1,206 @@
+"""Batched episode-jump solver (`stream_scan_jump_batch`) vs the scan.
+
+Same parity contract as `stream_scan_jump` (tests/test_streaming_jump.py):
+event boundaries, thresholds, state transitions bit-exact; dB statistics
+to f32 reduction order (per-hop masked sums vs sequential adds).  Extra
+coverage here: the vmapped wide-batch layout it was built for, and small
+`track_hop` values that force multi-hop tracking of one event.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meteor_scatter_tpu.models.streaming import (
+    StreamConfig,
+    stream_init,
+    stream_init_batch,
+    stream_scan,
+    stream_scan_jump_batch,
+)
+
+from tests.test_streaming_jump import (
+    CLOSE_EV,
+    CLOSE_STATE,
+    EXACT_EV,
+    EXACT_STATE,
+    default_cfg,
+    make_series,
+)
+
+
+def assert_hop_equals_scan(scfg, st0_a, st0_b, on, pm, track_hop=128):
+    st_s, ev_s, thr_s = stream_scan(scfg, st0_a, on, pm)
+    st_h, ev_h, thr_h = stream_scan_jump_batch(
+        scfg, st0_b, on, pm, track_hop=track_hop
+    )
+
+    np.testing.assert_array_equal(np.asarray(thr_s), np.asarray(thr_h))
+    assert int(ev_s.count) == int(ev_h.count)
+    assert bool(ev_s.overflow) == bool(ev_h.overflow)
+    c = min(int(ev_s.count), scfg.cap)
+    for f in EXACT_EV:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ev_s, f))[:c], np.asarray(getattr(ev_h, f))[:c],
+            err_msg=f"events.{f}",
+        )
+    # per-hop partial sums accumulate a little more reduction noise than the
+    # jump's single masked sum, so the CLOSE tolerance is one notch wider
+    for f in CLOSE_EV:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ev_s, f))[:c], np.asarray(getattr(ev_h, f))[:c],
+            rtol=1e-4, atol=1e-4, err_msg=f"events.{f}",
+        )
+    for f in EXACT_STATE:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_s, f)), np.asarray(getattr(st_h, f)),
+            err_msg=f"state.{f}",
+        )
+    for f in CLOSE_STATE:
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_s, f)), np.asarray(getattr(st_h, f)),
+            rtol=1e-5, atol=1e-5, err_msg=f"state.{f}",
+        )
+    np.testing.assert_array_equal(np.asarray(st_s.ring), np.asarray(st_h.ring))
+    return st_s, st_h, ev_s
+
+
+class TestHopEqualsScan:
+    def test_noise_only(self):
+        scfg = default_cfg()
+        on, pm = make_series(900, seed=0)
+        _, _, ev = assert_hop_equals_scan(
+            scfg, stream_init(scfg), stream_init(scfg), on, pm
+        )
+        assert int(ev.count) == 0
+
+    def test_bursty_series(self):
+        scfg = default_cfg()
+        bursts = [(100, 110, 8.0), (120, 121, 9.0), (160, 170, 8.0),
+                  (400, 420, 6.0), (700, 704, 7.0)]
+        on, pm = make_series(900, seed=1, bursts=bursts)
+        _, _, ev = assert_hop_equals_scan(
+            scfg, stream_init(scfg), stream_init(scfg), on, pm
+        )
+        assert int(ev.count) >= 3, "fixture must produce accepted events"
+
+    def test_multi_hop_tracking(self):
+        # an event far longer than track_hop forces several tracking hops
+        scfg = default_cfg()
+        on, pm = make_series(900, seed=2, bursts=[(100, 400, 8.0)])
+        assert_hop_equals_scan(
+            scfg, stream_init(scfg), stream_init(scfg), on, pm, track_hop=16
+        )
+
+    def test_track_survives_chunk_end(self):
+        scfg = default_cfg()
+        on, pm = make_series(300, seed=2, bursts=[(280, 300, 8.0)])
+        st_s, st_h, _ = assert_hop_equals_scan(
+            scfg, stream_init(scfg), stream_init(scfg), on, pm
+        )
+        assert int(st_s.state) == 2  # TRACK carried out
+
+    def test_cap_overflow_contract(self):
+        scfg = default_cfg(cap=2)
+        bursts = [(b, b + 6, 8.0) for b in range(60, 800, 90)]
+        on, pm = make_series(900, seed=3, bursts=bursts)
+        _, _, ev = assert_hop_equals_scan(
+            scfg, stream_init(scfg), stream_init(scfg), on, pm
+        )
+        assert int(ev.count) > 2 and bool(ev.overflow)
+
+    def test_chunked_carry(self):
+        scfg = default_cfg()
+        bursts = [(100, 110, 8.0), (400, 412, 6.0), (640, 650, 7.0)]
+        on, pm = make_series(910, seed=4, bursts=bursts)
+        st_s, st_h = stream_init(scfg), stream_init(scfg)
+        total = 0
+        step = 30  # cuts inside INIT, inside events, and inside lock windows
+        for i in range(0, 900, step):
+            st_s, st_h, ev = assert_hop_equals_scan(
+                scfg, st_s, st_h, on[i : i + step], pm[i : i + step]
+            )
+            total += int(ev.count)
+        assert total >= 3
+
+    @pytest.mark.parametrize("seed", range(5, 11))
+    def test_fuzz_random_walks(self, seed):
+        rng = np.random.default_rng(seed)
+        scfg = default_cfg(
+            avg_win=int(rng.integers(8, 60)),
+            after_wait_sec=float(rng.uniform(0.0, 6.0)),
+            k_std=float(rng.uniform(1.0, 3.0)),
+            min_mean_db=float(rng.uniform(0.0, 1.0)),
+            min_dur_sec=float(rng.uniform(0.0, 1.0)),
+            cap=8,
+        )
+        n = int(rng.integers(200, 700))
+        on, pm = make_series(n, seed=seed + 100, noise=1.0)
+        hop = int(rng.choice([8, 32, 128]))
+        assert_hop_equals_scan(
+            scfg, stream_init(scfg), stream_init(scfg), on, pm, track_hop=hop
+        )
+
+
+class TestHopVmapped:
+    def test_wide_batch_equals_per_channel(self):
+        """The layout it was built for: one vmapped call over C channels
+        equals C independent single-channel runs."""
+        scfg = default_cfg()
+        C, n = 6, 700
+        ons, pms = [], []
+        for c in range(C):
+            bursts = [(120 + 40 * c, 160 + 40 * c, 6.0)] if c % 2 == 0 else []
+            on, pm = make_series(n, seed=20 + c, bursts=bursts)
+            ons.append(on)
+            pms.append(pm)
+        on_b, pm_b = jnp.stack(ons), jnp.stack(pms)
+
+        st0 = stream_init_batch(scfg, C)
+        st_b, ev_b, thr_b = jax.vmap(
+            lambda s, o, p: stream_scan_jump_batch(scfg, s, o, p)
+        )(st0, on_b, pm_b)
+
+        for c in range(C):
+            st_s, ev_s, thr_s = stream_scan(scfg, stream_init(scfg), ons[c], pms[c])
+            np.testing.assert_array_equal(
+                np.asarray(thr_s), np.asarray(thr_b)[c], err_msg=f"thr ch{c}"
+            )
+            assert int(ev_s.count) == int(np.asarray(ev_b.count)[c])
+            cc = min(int(ev_s.count), scfg.cap)
+            for f in EXACT_EV:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ev_s, f))[:cc],
+                    np.asarray(getattr(ev_b, f))[c][:cc],
+                    err_msg=f"events.{f} ch{c}",
+                )
+            for f in EXACT_STATE:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(st_s, f)),
+                    np.asarray(getattr(st_b, f))[c],
+                    err_msg=f"state.{f} ch{c}",
+                )
+
+    def test_wide_batch_chunked(self):
+        scfg = default_cfg()
+        C, n, step = 4, 600, 150
+        on_b = jnp.stack(
+            [make_series(n, seed=40 + c, bursts=[(200, 230, 7.0)])[0] for c in range(C)]
+        )
+        pm_b = jnp.stack([make_series(n, seed=40 + c)[1] for c in range(C)])
+
+        run = jax.vmap(lambda s, o, p: stream_scan_jump_batch(scfg, s, o, p))
+        st = stream_init_batch(scfg, C)
+        counts = 0
+        for i in range(0, n, step):
+            st, ev, _ = run(st, on_b[:, i : i + step], pm_b[:, i : i + step])
+            counts += np.asarray(ev.count)
+        # single-shot comparison
+        st1, ev1, _ = run(stream_init_batch(scfg, C), on_b, pm_b)
+        np.testing.assert_array_equal(counts, np.asarray(ev1.count))
+        np.testing.assert_array_equal(np.asarray(st.state), np.asarray(st1.state))
+        np.testing.assert_array_equal(
+            np.asarray(st.block_idx), np.asarray(st1.block_idx)
+        )

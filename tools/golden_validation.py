@@ -166,7 +166,7 @@ def run_stream(ref_path: str, wav_path: str):
             )
         return [(round(e["time_start"], 2), round(e["time_stop"], 2)) for e in events]
 
-    return ref, run_ours("scan"), run_ours("jump")
+    return ref, run_ours("scan"), run_ours("jump"), run_ours("hop")
 
 
 def main() -> int:
@@ -201,7 +201,7 @@ def main() -> int:
 
     stream_wav = os.path.join(args.tmp, "golden_stream.wav")
     make_stream_wav(stream_wav)
-    ref, ours, ours_jump = run_stream(args.reference_path, stream_wav)
+    ref, ours, ours_jump, ours_hop = run_stream(args.reference_path, stream_wav)
     per_case.append(([(r[0], r[1]) for r in ref], [(o[0], o[1]) for o in ours]))
     match = ref == ours
     print(f"STREAM: reference={len(ref)} ours={len(ours)} match={match}")
@@ -211,6 +211,9 @@ def main() -> int:
     match_jump = ref == ours_jump
     print(f"STREAM (impl=jump): ours={len(ours_jump)} match={match_jump}")
     ok &= match_jump
+    match_hop = ref == ours_hop
+    print(f"STREAM (impl=hop): ours={len(ours_hop)} match={match_hop}")
+    ok &= match_hop
 
     # detection F1 vs the reference event lists (BASELINE.json primary
     # metric).  Matching is per case (batch and stream come from unrelated
