@@ -165,35 +165,42 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
     Mj = jnp.asarray(M)
     x_np = np.stack([synth_audio(seconds, seed=10 + c) for c in range(n_channels)])
 
+    # In-graph fori chaining (see tpu_pipeline): host-loop chaining pays the
+    # tunnel dispatch latency per call, which can exceed device time 5-10x.
     @jax.jit
-    def run(x, Mj):
-        frames = frame_signal(x, BLOCK, BLOCK)
-        band, noise = band_power_db(frames, Mj, slices)
-        delta = band - noise
-        _, above, s_incl, csm = jax.vmap(
-            lambda d: adaptive_solver_fused(
-                d, K_STD, WINDOW_BLOCKS, FREEZE_BEFORE, FREEZE_AFTER, FIXED_INIT
+    def runk(x, Mj, k):
+        def body(_, carry):
+            _, t = carry
+            eps = jnp.where(jnp.isnan(t), jnp.float32(1.0), jnp.float32(0.0))
+            frames = frame_signal(x, BLOCK, BLOCK)
+            band, noise = band_power_db(frames, Mj + eps, slices)
+            delta = band - noise
+            _, above, s_incl, csm = jax.vmap(
+                lambda d: adaptive_solver_fused(
+                    d, K_STD, WINDOW_BLOCKS, FREEZE_BEFORE, FREEZE_AFTER, FIXED_INIT
+                )
+            )(delta)
+            ev = jax.vmap(lambda s, c, a: events_from_run_sums(s, c, a, cap=1024))(
+                s_incl, csm, above
             )
-        )(delta)
-        ev = jax.vmap(lambda s, c, a: events_from_run_sums(s, c, a, cap=1024))(
-            s_incl, csm, above
-        )
-        return ev.count
+            return ev.count.sum(), delta[0, -1]
+
+        return jax.lax.fori_loop(0, k, body, (jnp.asarray(0, jnp.int32), jnp.float32(0.0)))
 
     x = jnp.asarray(x_np)
-    np.asarray(run(x, Mj))
+    int(np.asarray(runk(x, Mj, 1)[0]))
 
-    def chained(k):
+    def timed(k):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = run(x, Mj)
-        np.asarray(out)
+        out = runk(x, Mj, k)
+        np.asarray(out[0])
         return time.perf_counter() - t0
 
-    t1 = min(chained(1) for _ in range(2))
-    tk = min(chained(6) for _ in range(2))
-    dt = max((tk - t1) / 5.0, 1e-9)
+    t1 = min(timed(1) for _ in range(2))
+    tk = min(timed(6) for _ in range(2))
+    dt = (tk - t1) / 5.0
+    if dt <= 0:
+        dt = tk / 6.0
     return x_np.size / dt
 
 
@@ -296,22 +303,37 @@ def stations_pipeline(
         st2, ev, _ = jax.vmap(lambda s, o, p: solver(scfg, s, o, p))(st, on, pm)
         return st2, ev.count
 
+    # in-graph chained timing (see tpu_pipeline): k state-carried executions
+    # inside one dispatch — host-loop chaining pays the tunnel dispatch
+    # latency per call (measured ~90 ms/call for this state pytree on a slow
+    # day, 5x the ~107 ms device time of the whole 64-station pipeline)
+    @jax.jit
+    def runk(x, st, k):
+        def body(_, s):
+            eps = jnp.where(jnp.isnan(s.tr_sum[0]), jnp.float32(1.0), jnp.float32(0.0))
+            on, pm, _ = stream_front_headless(cfg, x + eps, fs)
+            s2, _, _ = jax.vmap(lambda sc, o, p: solver(scfg, sc, o, p))(s, on, pm)
+            return s2
+
+        return jax.lax.fori_loop(0, k, body, st)
+
     st0 = stream_init_batch(scfg, n_stations)
     x = jnp.asarray(x_np)  # hoisted: the host->device upload must not be timed
     st, counts = run(x, st0)
-    np.asarray(counts)
+    np.asarray(counts)  # correctness pass: events found per station
+    int(np.asarray(runk(x, st0, 1).block_idx[0]))
 
-    def chained(k):
+    def timed(k):
         t0 = time.perf_counter()
-        s, out = st0, None
-        for _ in range(k):
-            s, out = run(x, s)
-        np.asarray(out)
+        sK = runk(x, st0, k)
+        np.asarray(sK.block_idx)
         return time.perf_counter() - t0
 
-    t1 = min(chained(1) for _ in range(2))
-    tk = min(chained(6) for _ in range(2))
-    dt = max((tk - t1) / 5.0, 1e-9)
+    t1 = min(timed(1) for _ in range(2))
+    tk = min(timed(6) for _ in range(2))
+    dt = (tk - t1) / 5.0
+    if dt <= 0:
+        dt = tk / 6.0
     return x_np.size / dt
 
 
@@ -336,24 +358,32 @@ def image_pipeline(n_segments: int = 8, seconds: float = 30.0, fs: int = 5000) -
             x_np[s, m] += 3000.0 * np.sin(2 * np.pi * 1000.0 * t[m]).astype(np.float32)
 
     @jax.jit
-    def run(x):
-        _, bursts = jax.vmap(lambda seg: detect_and_cluster_bursts(seg, float(fs)))(x)
-        return bursts.n_critical, bursts.n_non_critical
+    def runk(x, k):
+        def body(_, carry):
+            cnt, t = carry
+            eps = jnp.where(jnp.isnan(t), jnp.float32(1.0), jnp.float32(0.0))
+            _, bursts = jax.vmap(
+                lambda seg: detect_and_cluster_bursts(seg + eps, float(fs))
+            )(x)
+            total = (bursts.n_critical + bursts.n_non_critical).sum()
+            return total, total.astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k, body, (jnp.asarray(0, jnp.int32), jnp.float32(0.0)))
 
     x = jnp.asarray(x_np)
-    np.asarray(run(x)[0])
+    np.asarray(runk(x, 1)[0])
 
-    def chained(k):
+    def timed(k):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = run(x)
+        out = runk(x, k)
         np.asarray(out[0])
         return time.perf_counter() - t0
 
-    t1 = min(chained(1) for _ in range(2))
-    tk = min(chained(6) for _ in range(2))
-    dt = max((tk - t1) / 5.0, 1e-9)
+    t1 = min(timed(1) for _ in range(2))
+    tk = min(timed(6) for _ in range(2))
+    dt = (tk - t1) / 5.0
+    if dt <= 0:
+        dt = tk / 6.0
     return x_np.size / dt
 
 
@@ -373,23 +403,29 @@ def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
     centers = np.asarray([49_970 + 1000 * c for c in range(n_stations)])
 
     @jax.jit
-    def run(xj):
-        re, im = channelize(xj, fs, centers, bandwidth=200.0, decim=166, numtaps=257)
-        return re.sum() + im.sum()
+    def runk(xj, k):
+        def body(_, t):
+            eps = jnp.where(jnp.isnan(t), jnp.float32(1.0), jnp.float32(0.0))
+            re, im = channelize(
+                xj + eps, fs, centers, bandwidth=200.0, decim=166, numtaps=257
+            )
+            return re.sum() + im.sum()
 
-    np.asarray(run(x))
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    def chained(k):
+    np.asarray(runk(x, 1))
+
+    def timed(k):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = run(x)
+        out = runk(x, k)
         np.asarray(out)
         return time.perf_counter() - t0
 
-    t1 = min(chained(1) for _ in range(2))
-    tk = min(chained(6) for _ in range(2))
-    dt = max((tk - t1) / 5.0, 1e-9)
+    t1 = min(timed(1) for _ in range(2))
+    tk = min(timed(6) for _ in range(2))
+    dt = (tk - t1) / 5.0
+    if dt <= 0:
+        dt = tk / 6.0
     return n / dt
 
 
@@ -443,23 +479,40 @@ def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
         )(st, on, pm)
         return st2, ev.count
 
+    # in-graph chained timing, state-carried (see stations_pipeline)
+    @jax.jit
+    def runk(xr, xi, st, k):
+        def body(_, s):
+            eps = jnp.where(jnp.isnan(s.tr_sum[0]), jnp.float32(1.0), jnp.float32(0.0))
+            audio, _ = channelize_iq(
+                xr + eps, xi, fs, centers, bandwidth=1500.0, decim=decim, numtaps=2001
+            )
+            on, pm, _ = stream_front_headless(cfg, audio, audio_rate)
+            s2, _, _ = jax.vmap(
+                lambda sc, o, p: stream_scan_jump_batch(scfg, sc, o, p)
+            )(s, on, pm)
+            return s2
+
+        return jax.lax.fori_loop(0, k, body, st)
+
     st0 = stream_init_batch(scfg, n_stations)
     xr = jnp.asarray(x_re)
     xi = jnp.asarray(x_im)
     st, counts = run(xr, xi, st0)
     np.asarray(counts)
+    int(np.asarray(runk(xr, xi, st0, 1).block_idx[0]))
 
-    def chained(k):
+    def timed(k):
         t0 = time.perf_counter()
-        s, out = st0, None
-        for _ in range(k):
-            s, out = run(xr, xi, s)
-        np.asarray(out)
+        sK = runk(xr, xi, st0, k)
+        np.asarray(sK.block_idx)
         return time.perf_counter() - t0
 
-    t1 = min(chained(1) for _ in range(2))
-    tk = min(chained(6) for _ in range(2))
-    dt = max((tk - t1) / 5.0, 1e-9)
+    t1 = min(timed(1) for _ in range(2))
+    tk = min(timed(6) for _ in range(2))
+    dt = (tk - t1) / 5.0
+    if dt <= 0:
+        dt = tk / 6.0
     return x_re.size / dt
 
 

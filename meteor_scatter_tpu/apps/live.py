@@ -46,7 +46,7 @@ class LiveSession:
         vis: Optional[VisualizationConfig] = None,
         spec: Optional[SpecExportConfig] = None,
         headless: bool = False,
-        impl: str = "scan",
+        impl: str = "auto",
     ):
         self.cfg = cfg
         self.fs = fs
@@ -55,8 +55,9 @@ class LiveSession:
         self.headless = headless and not (vis and vis.enable_ui_plots) and not (
             spec and spec.output_dir
         )
-        # block-rate solver: "scan" (reference formulation) or "jump"
-        # (episode-jump fast path, see models/streaming.py stream_scan_jump)
+        # block-rate solver: "auto" (backend-dependent fast path, see
+        # models/streaming.py resolve_stream_auto), "scan" (reference
+        # formulation), or the episode-jump fast paths "jump"/"hop"
         self.impl = impl
         self.vis = vis or VisualizationConfig()
         self.spec = spec or SpecExportConfig()
@@ -152,7 +153,7 @@ def wav_file_process(
     chunk_sec: float = 60.0,
     expected_sample_rate: Optional[int] = 4000,
     headless: bool = False,
-    impl: str = "scan",
+    impl: str = "auto",
 ) -> List[dict]:
     """Reference-compatible entry point (`processor.py:14-21`)."""
     fs, data = read_wav(wav_file_path, mono=True)
@@ -215,7 +216,7 @@ def main(argv=None) -> int:
     p.add_argument("--headless", action="store_true",
                    help="bins-only front half (no PSD waterfall/exports/UI); "
                         "band numerics within f32 noise of the Welch path")
-    p.add_argument("--impl", choices=("scan", "jump", "hop"), default="scan",
+    p.add_argument("--impl", choices=("auto", "scan", "jump", "hop"), default="auto",
                    help="block-rate solver: reference-formulation scan or the "
                         "episode-jump fast paths — 'jump' (full-series "
                         "searches) or 'hop' (windowed, built for wide "

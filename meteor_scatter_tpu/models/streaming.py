@@ -824,13 +824,39 @@ def stream_scan_jump_batch(
     return new_state, events, thr_out
 
 
+def resolve_stream_auto(front: str, impl: str) -> Tuple[str, str]:
+    """Resolve ``front``/``impl`` ``"auto"`` selections (VERDICT r2 item 3,
+    mirroring ``detect_adaptive(impl="auto")``).
+
+    On TPU the fast path is the default: the bins-only matmul front plus
+    the windowed episode-jump solver — measured 6.6 ms per hour of audio vs
+    the reference-formulation welch:scan's 123 ms (tools/streaming_bench.py,
+    2026-08-20), with identical event lists on every fixture, golden
+    parity 3/3, and the decision-flip risk bounded in PARITY.md (accept
+    margins sit orders of magnitude above the formulation deltas; boundary
+    comparisons and lock windows are shared/integer-exact).  On CPU the
+    reference formulation stays the default: the fast path's advantage is
+    TPU-specific and the welch front is what the oracles pin bit-exactly.
+
+    Callers that need the PSD waterfall (live UI, spec export) must pass
+    ``front="welch"`` explicitly — the bins front computes only the three
+    band levels.
+    """
+    on_tpu = jax.default_backend() != "cpu"
+    if front == "auto":
+        front = "bins" if on_tpu else "welch"
+    if impl == "auto":
+        impl = "hop" if on_tpu else "scan"
+    return front, impl
+
+
 def stream_process(
     cfg: DetectionConfig,
     state: StreamState,
     samples: jnp.ndarray,
     fs: float,
-    front: str = "welch",
-    impl: str = "scan",
+    front: str = "auto",
+    impl: str = "auto",
 ) -> Tuple[StreamState, StreamEvents, dict]:
     """Process a chunk of audio (any whole number of blocks).
 
@@ -838,7 +864,7 @@ def stream_process(
     machine as one scan (:func:`stream_scan`).  Returns (new_state,
     events_found_in_chunk, diagnostics) where diagnostics carries the
     per-block series the live UI plots (over_noise, threshold, band dBs,
-    psd waterfall).
+    psd waterfall — Welch front only).
 
     The scan is restructured for TPU relative to :func:`stream_step` (which
     stays as the reference formulation): the O(avg_win) rolling-window
@@ -847,11 +873,14 @@ def stream_process(
     compacted afterwards, so the carry is pure scalars.  Equality with the
     stream_step scan is pinned in tests.
 
-    ``impl="jump"`` replaces the block-rate scan with the episode-jump
-    solver (:func:`stream_scan_jump`) — bit-exact event boundaries and
-    thresholds, dB statistics to f32 reduction order; see its docstring
-    for why it stays opt-in.
+    ``front``/``impl`` default to ``"auto"`` (:func:`resolve_stream_auto`):
+    the bins front + windowed episode-jump solver on TPU, the
+    reference-formulation welch:scan on CPU.  ``impl="jump"``/``"hop"``
+    select the episode-jump solvers explicitly — bit-exact event
+    boundaries and thresholds, dB statistics to f32 reduction order; see
+    their docstrings and PARITY.md for the tie-risk accounting.
     """
+    front, impl = resolve_stream_auto(front, impl)
     scfg = StreamConfig.from_config(cfg)
     block = int(round(cfg.proc_block_sec * fs))
     n_blocks = samples.shape[-1] // block

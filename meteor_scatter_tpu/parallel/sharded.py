@@ -401,8 +401,8 @@ def sharded_stream_process(
     x: jnp.ndarray,  # (C, S)
     fs: float,
     mesh: Mesh,
-    front: str = "welch",
-    impl: str = "scan",
+    front: str = "auto",
+    impl: str = "auto",
 ):
     """Time-sharded streaming 3-state machine (the reference's
     `processor.py:444-510` sequential loop, SURVEY.md §2.6
@@ -439,6 +439,7 @@ def sharded_stream_process(
     """
     from meteor_scatter_tpu.models.streaming import (
         StreamConfig,
+        resolve_stream_auto,
         stream_front,
         stream_front_headless,
         stream_init_batch,
@@ -448,6 +449,7 @@ def sharded_stream_process(
     )
     from meteor_scatter_tpu.ops.welch import welch_freqs
 
+    front, impl = resolve_stream_auto(front, impl)
     scfg = StreamConfig.from_config(cfg)
     block = int(round(cfg.proc_block_sec * fs))
     n_time = mesh.shape[TIME_AXIS]
