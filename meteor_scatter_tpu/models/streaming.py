@@ -643,6 +643,18 @@ def stream_scan_jump_batch(
     per chunk.
 
     Reference semantics anchor: `dsp/src/live/backend/processor.py:444-510`.
+
+    Implementation notes for the vmapped-batch regime (measured on-chip at
+    64 channels, 2026-08-21): a vmapped ``while_loop`` costs ~0.4 ms per
+    lockstep iteration *in structure alone* (batched cond + carry
+    plumbing), and ``jnp.searchsorted`` lowers to a ~21 ms binary-search
+    loop at 64×3000 — so the body is merged (one shared W-wide window
+    slice, branchless selects instead of ``lax.cond``, which executes both
+    branches under vmap anyway), the event/episode buffers are packed into
+    single arrays (17 carry leaves and 3 scatters per iteration instead of
+    24 and 12), and the threshold reconstruction's rank query is one
+    scatter-add + cumsum (bit-identical integers to the searchsorted it
+    replaces).
     """
     n_blocks = over_noise.shape[0]
     dtype = over_noise.dtype
@@ -654,6 +666,7 @@ def stream_scan_jump_batch(
     min_dur_b = min_duration_blocks(scfg.min_dur_sec, scfg.block_sec)
     w_lock = max(lock_tail, 1)
     w_track = track_hop
+    W = max(w_lock, w_track)
     base_thr, ext = _ring_base_thresholds(
         state.ring, state.block_idx, over_noise, w, scfg.k_std, dtype
     )
@@ -670,75 +683,67 @@ def stream_scan_jump_batch(
         jnp.where(cross, idx, n_blocks), axis=0, reverse=True
     )
     nxt_ext = jnp.concatenate([nxt_base, jnp.full((1,), n_blocks, jnp.int32)])
-    on_pad = jnp.concatenate([on, jnp.zeros(max(w_lock, w_track), dtype)])
+    on_pad = jnp.concatenate([on, jnp.zeros(W, dtype)])
 
     k0, s0, isum, icnt, pinit, _ = _init_prefix(
         scfg, state, psd_db_mean, t_vec, idx, n_blocks, dtype
     )
 
-    ev0 = _empty_events(cap, dtype)
-    # lock-episode records for threshold reconstruction; slot 0 carries the
-    # incoming lock window (shadowed by any carried-in track's own record)
-    ep_entry0 = jnp.full(ep_cap, big).at[0].set(-big)
-    ep_thr_end0 = jnp.full(ep_cap, -big).at[0].set(state.locked_until_block - i0)
-    ep_L0 = jnp.zeros(ep_cap, dtype).at[0].set(state.locked_threshold)
+    lane = jnp.arange(W, dtype=jnp.int32)
+    lock_lane = lane < w_lock
+    track_lane = lane < w_track
+
+    # packed buffers: e_buf rows = (time_start, time_stop, duration, db_min,
+    # db_max, db_mean, db_std); ep_i rows = (entry_rel_block, thr_end_rel);
+    # ep_lv = locked values.  Slot 0 of the episode records carries the
+    # incoming lock window (shadowed by any carried-in track's own record).
+    e_buf0 = jnp.zeros((7, cap), dtype)
+    ep_i0 = jnp.stack([
+        jnp.full(ep_cap, big).at[0].set(-big),
+        jnp.full(ep_cap, -big).at[0].set(state.locked_until_block - i0),
+    ])
+    ep_lv0 = jnp.zeros(ep_cap, dtype).at[0].set(state.locked_threshold)
 
     carry0 = (
         k0, s0, state.locked_threshold, state.locked_until_block,
         state.track_start_sec, state.track_start_block,
         state.tr_count, state.tr_sum, state.tr_sumsq,
         state.tr_min, state.tr_max,
-        ev0.time_start, ev0.time_stop, ev0.duration, ev0.db_min, ev0.db_max,
-        ev0.db_mean, ev0.db_std, ev0.count, ev0.overflow,
-        ep_entry0, ep_thr_end0, ep_L0, jnp.asarray(1, jnp.int32),
+        e_buf0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        ep_i0, ep_lv0, jnp.asarray(1, jnp.int32),
     )
 
-    def detect_phase(c):
+    def body(c):
         (k, s, L, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
-         e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf,
-         ep_en, ep_te, ep_lv, ep_cnt) = c
+         e_buf, e_cnt, e_ovf, ep_i, ep_lv, ep_cnt) = c
+        is_det = s == DETECT
+        wv = jax.lax.dynamic_slice(on_pad, (k,), (W,))
+        widx = k + lane
+        valid = widx < n_blocks
+
+        # -- detection: crossing against the locked value inside the
+        #    (bounded) lock window, else the precomputed next base crossing
+        #    after the lock expires
         rel_until = luntil - i0
-        # crossing against the locked value inside the (bounded) lock window
-        widx = k + jnp.arange(w_lock, dtype=jnp.int32)
-        wv = jax.lax.dynamic_slice(on_pad, (k,), (w_lock,))
-        lock_cand = (widx <= rel_until) & (widx < n_blocks) & (wv > L)
+        lock_cand = lock_lane & (widx <= rel_until) & valid & (wv > L)
         lock_has = lock_cand.any()
         j_lock = k + jnp.argmax(lock_cand).astype(jnp.int32)
-        # crossing against the base threshold after the lock expires
         start_base = jnp.maximum(k, rel_until + 1)
         j_base = nxt_ext[jnp.minimum(start_base, n_blocks)]
         i_star = jnp.where(lock_has, j_lock, j_base)
-        has = i_star < n_blocks
+        d_has = i_star < n_blocks
         i_c = jnp.minimum(i_star, n_blocks - 1)
         thr_at = jnp.where(lock_has, L, base_thr[i_c])
-        return (
-            jnp.where(has, i_star + 1, n_blocks).astype(jnp.int32),
-            jnp.where(has, TRACK, DETECT).astype(jnp.int32),
-            jnp.where(has, thr_at, L),
-            luntil,
-            jnp.where(has, t_vec[i_c], tstart),
-            jnp.where(has, i0 + i_star, tsblk).astype(jnp.int32),
-            jnp.where(has, 0, trc),
-            jnp.where(has, 0.0, trs),
-            jnp.where(has, 0.0, trss),
-            jnp.where(has, inf, trmn),
-            jnp.where(has, -inf, trmx),
-            e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf,
-            ep_en, ep_te, ep_lv, ep_cnt,
-        )
 
-    def track_phase(c):
-        (k, s, L, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
-         e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf,
-         ep_en, ep_te, ep_lv, ep_cnt) = c
-        widx = k + jnp.arange(w_track, dtype=jnp.int32)
-        wv = jax.lax.dynamic_slice(on_pad, (k,), (w_track,))
-        valid = widx < n_blocks
-        leave_cand = valid & (wv < L)
-        has = leave_cand.any()
+        # -- tracking: first below-lock block within the hop window; span
+        #    statistics as masked reductions (zero/±inf padding beyond
+        #    w_track lanes is exact: appended identities never change a
+        #    partial sum)
+        leave_cand = track_lane & valid & (wv < L)
+        t_has = leave_cand.any()
         j = k + jnp.argmax(leave_cand).astype(jnp.int32)
-        span_hi = jnp.where(has, j, k + w_track - 1)  # inclusive
-        sel = valid & (widx <= span_hi)
+        span_hi = jnp.where(t_has, j, k + w_track - 1)  # inclusive
+        sel = track_lane & valid & (widx <= span_hi)
         trc2 = trc + sel.sum(dtype=jnp.int32)
         trs2 = trs + jnp.where(sel, wv, 0).sum()
         trss2 = trss + jnp.where(sel, wv * wv, 0).sum()
@@ -751,57 +756,84 @@ def stream_scan_jump_batch(
         h_cnt = jnp.maximum(trc2, 1).astype(dtype)
         h_mean = trs2 / h_cnt
         h_std = jnp.sqrt(jnp.maximum(trss2 / h_cnt - h_mean * h_mean, 0))
-        emit = has & (h_mean >= scfg.min_mean_db) & ((i0 + j) - tsblk >= min_dur_b)
+        emit = (~is_det) & t_has & (h_mean >= scfg.min_mean_db) & (
+            (i0 + j) - tsblk >= min_dur_b
+        )
+        rec = (~is_det) & t_has
         slot = jnp.where(emit & (e_cnt < cap), e_cnt, cap)
-        eslot = jnp.where(has & (ep_cnt < ep_cap), ep_cnt, ep_cap)
+        eslot = jnp.where(rec & (ep_cnt < ep_cap), ep_cnt, ep_cap)
+        e_buf2 = e_buf.at[:, slot].set(
+            jnp.stack([tstart, t_leave, dur, trmn2, trmx2, h_mean, h_std]),
+            mode="drop",
+        )
+        ep_i2 = ep_i.at[:, eslot].set(
+            jnp.stack([tsblk - i0, j + max(lock_tail - 1, 0)]), mode="drop"
+        )
+        ep_lv2 = ep_lv.at[eslot].set(L, mode="drop")
+
+        enter = is_det & d_has
+        leave = (~is_det) & t_has
+        k_next = jnp.where(
+            is_det,
+            jnp.where(d_has, i_star + 1, n_blocks),
+            jnp.where(t_has, j + 1, jnp.minimum(k + w_track, n_blocks)),
+        ).astype(jnp.int32)
+        s_next = jnp.where(
+            is_det,
+            jnp.where(d_has, TRACK, DETECT),
+            jnp.where(t_has, DETECT, TRACK),
+        ).astype(jnp.int32)
         return (
-            jnp.where(has, j + 1, jnp.minimum(k + w_track, n_blocks)).astype(jnp.int32),
-            jnp.where(has, DETECT, TRACK).astype(jnp.int32),
-            L,
-            jnp.where(has, (i0 + j) + (lock_tail - 1), luntil).astype(jnp.int32),
-            tstart,
-            tsblk,
-            trc2, trs2, trss2, trmn2, trmx2,
-            e_ts.at[slot].set(tstart, mode="drop"),
-            e_tp.at[slot].set(t_leave, mode="drop"),
-            e_du.at[slot].set(dur, mode="drop"),
-            e_mn.at[slot].set(trmn2, mode="drop"),
-            e_mx.at[slot].set(trmx2, mode="drop"),
-            e_me.at[slot].set(h_mean, mode="drop"),
-            e_sd.at[slot].set(h_std, mode="drop"),
+            k_next,
+            s_next,
+            jnp.where(enter, thr_at, L),
+            jnp.where(leave, (i0 + j) + (lock_tail - 1), luntil).astype(jnp.int32),
+            jnp.where(enter, t_vec[i_c], tstart),
+            jnp.where(enter, i0 + i_star, tsblk).astype(jnp.int32),
+            jnp.where(enter, 0, jnp.where(is_det, trc, trc2)),
+            jnp.where(enter, 0.0, jnp.where(is_det, trs, trs2)),
+            jnp.where(enter, 0.0, jnp.where(is_det, trss, trss2)),
+            jnp.where(enter, inf, jnp.where(is_det, trmn, trmn2)),
+            jnp.where(enter, -inf, jnp.where(is_det, trmx, trmx2)),
+            e_buf2,
             e_cnt + emit.astype(jnp.int32),
             e_ovf | (emit & (e_cnt >= cap)),
-            ep_en.at[eslot].set(tsblk - i0, mode="drop"),
-            ep_te.at[eslot].set(j + max(lock_tail - 1, 0), mode="drop"),
-            ep_lv.at[eslot].set(L, mode="drop"),
-            ep_cnt + has.astype(jnp.int32),
+            ep_i2,
+            ep_lv2,
+            ep_cnt + rec.astype(jnp.int32),
         )
 
-    carry = jax.lax.while_loop(
-        lambda c: c[0] < n_blocks,
-        lambda c: jax.lax.cond(c[1] == DETECT, detect_phase, track_phase, c),
-        carry0,
-    )
+    carry = jax.lax.while_loop(lambda c: c[0] < n_blocks, body, carry0)
     (k, s, L, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
-     e_ts, e_tp, e_du, e_mn, e_mx, e_me, e_sd, e_cnt, e_ovf,
-     ep_en, ep_te, ep_lv, ep_cnt) = carry
+     e_buf, e_cnt, e_ovf, ep_i, ep_lv, ep_cnt) = carry
 
     # a chunk that ends mid-track keeps its locked value live to the end
     end_track = s == TRACK
     eslot = jnp.where(end_track & (ep_cnt < ep_cap), ep_cnt, ep_cap)
-    ep_en = ep_en.at[eslot].set(tsblk - i0, mode="drop")
-    ep_te = ep_te.at[eslot].set(n_blocks - 1, mode="drop")
+    ep_i = ep_i.at[:, eslot].set(
+        jnp.stack([tsblk - i0, jnp.asarray(n_blocks - 1, jnp.int32)]),
+        mode="drop",
+    )
     ep_lv = ep_lv.at[eslot].set(L, mode="drop")
+    ep_en = ep_i[0]
+    ep_te = ep_i[1]
 
-    # threshold reconstruction: most recent lock episode covering each block
-    eidx = jnp.searchsorted(ep_en, idx, side="left").astype(jnp.int32) - 1
+    # threshold reconstruction: most recent lock episode covering each
+    # block.  eidx[i] = searchsorted_left(ep_en, i) − 1 = (# entries < i)
+    # − 1, computed as one scatter-add + cumsum (entries clip to the
+    # [0, n_blocks] histogram range; −big → bin 0 counts for every block,
+    # big → bin n_blocks counts for none) — integer-identical to
+    # searchsorted, without its pathological TPU lowering.
+    p = jnp.clip(ep_en + 1, 0, n_blocks)
+    cnt_hist = jnp.zeros(n_blocks + 1, jnp.int32).at[p].add(1)
+    eidx = jnp.cumsum(cnt_hist)[:n_blocks] - 1
     eidx = jnp.maximum(eidx, 0)  # slot 0 (entry −big) precedes every block
     covered = idx <= ep_te[eidx]
     thr_out = jnp.where(covered, ep_lv[eidx], base_thr)
 
     events = StreamEvents(
-        time_start=e_ts, time_stop=e_tp, duration=e_du,
-        db_min=e_mn, db_max=e_mx, db_mean=e_me, db_std=e_sd,
+        time_start=e_buf[0], time_stop=e_buf[1], duration=e_buf[2],
+        db_min=e_buf[3], db_max=e_buf[4], db_mean=e_buf[5], db_std=e_buf[6],
         count=e_cnt, overflow=e_ovf,
     )
 
@@ -912,8 +944,12 @@ def stream_process(
         solver = stream_scan_jump
     elif impl == "hop":
         solver = stream_scan_jump_batch
+    elif impl == "fused":
+        solver = stream_scan_fused
     else:
-        raise ValueError(f"unknown impl {impl!r} (use 'scan', 'jump' or 'hop')")
+        raise ValueError(
+            f"unknown impl {impl!r} (use 'scan', 'jump', 'hop' or 'fused')"
+        )
     state, events, thresholds = solver(scfg, state, over_noise, psd_db_mean)
     diags = {"over_noise": over_noise, "threshold": thresholds, **front_diags}
     return state, events, diags
@@ -924,11 +960,13 @@ def stream_scan(
     state: StreamState,
     over_noise: jnp.ndarray,  # (n_blocks,)
     psd_db_mean: jnp.ndarray,  # (n_blocks,)
+    unroll: int | None = None,
 ) -> Tuple[StreamState, StreamEvents, jnp.ndarray]:
     """The sequential 3-state machine over one block series — the
     block-rate back half of :func:`stream_process` (reference semantics:
     `processor.py:444-510`; restructuring notes there).  Returns
-    (new_state, events, per-block thresholds)."""
+    (new_state, events, per-block thresholds).  ``unroll`` overrides the
+    backend-default scan unroll factor (semantics unchanged)."""
     n_blocks = over_noise.shape[0]
     dtype = over_noise.dtype
     w = scfg.avg_win
@@ -1016,33 +1054,19 @@ def stream_scan(
     # steps of pure scalar work; semantics are unchanged.  CPU keeps
     # unroll=1 — the 16x body inflates this box's compile time far more
     # than it saves at test scale.
-    unroll = 16 if jax.default_backend() != "cpu" else 1
+    if unroll is None:
+        unroll = 16 if jax.default_backend() != "cpu" else 1
     carry, outs = jax.lax.scan(
         body, carry0, (over_noise, psd_db_mean, base_thr), unroll=unroll
     )
     (thresholds, emit, e_start, e_stop, e_dur, e_min, e_max, e_mean, e_std) = outs
 
-    # compact emitted events into the fixed-cap buffer (order preserved)
-    cap = scfg.cap
-    c = jnp.cumsum(emit.astype(jnp.int32))
-    num = c[-1]
-    slot = jnp.searchsorted(c, jnp.arange(cap, dtype=jnp.int32) + 1, side="left")
-    slot_c = jnp.minimum(slot, max(n_blocks - 1, 0))
-    valid = jnp.arange(cap) < num
-
-    def pick(arr):
-        return jnp.where(valid, arr[slot_c], 0)
-
-    events = StreamEvents(
-        time_start=pick(e_start),
-        time_stop=pick(e_stop),
-        duration=pick(e_dur),
-        db_min=pick(e_min),
-        db_max=pick(e_max),
-        db_mean=pick(e_mean),
-        db_std=pick(e_std),
-        count=num,  # like the in-scan form: total emitted, even past cap
-        overflow=num > cap,
+    # compact emitted events into the fixed-cap buffer (order preserved);
+    # scatter-free MXU compaction shared with the fused kernel path — see
+    # :func:`_compact_scan_outs` for why scatter/searchsorted are avoided
+    events = _compact_scan_outs(
+        scfg, n_blocks,
+        (emit, e_start, e_stop, e_dur, e_min, e_max, e_mean, e_std),
     )
 
     # final ring: slot s holds the value at the largest written block k with
@@ -1073,3 +1097,177 @@ def stream_scan(
     )
 
     return state, events, thresholds
+
+def _compact_scan_outs(scfg: StreamConfig, n_blocks: int, outs) -> StreamEvents:
+    """Turn one channel's per-step scan outputs into the fixed-cap event
+    buffer: the m-th emitting block lands in slot m.
+
+    The slot→block map is recovered *scatter-free*: XLA:TPU lowers a
+    3000-update scatter to a serialized loop (measured ~60 ms vmapped at
+    64 channels — it was the hidden floor under every solver), so instead
+    the slot index m = c[i]−1 of each emitting block is split into digits
+    (hi, lo) = (m // 32, m % 32) and ``slot_c[m] = Σ_i E_hi[i,hi] ·
+    E_lo[i,lo] · i`` becomes one (A, n)·(n, 32) matmul on the MXU.  At
+    most one term per slot is nonzero and block indices are < 2²⁴, so the
+    f32 contraction is integer-exact and equal to the scatter it
+    replaces."""
+    (emit, e_start, e_stop, e_dur, e_min, e_max, e_mean, e_std) = outs
+    cap = scfg.cap
+    B = 32
+    A = -(-cap // B)
+    c = jnp.cumsum(emit.astype(jnp.int32))
+    num = c[-1]
+    em = emit.astype(bool)
+    m = c - 1  # slot index of each emitting block
+    f32 = e_start.dtype
+    e_hi = (
+        jnp.where(em, m // B, -1)[:, None] == jnp.arange(A, dtype=jnp.int32)[None, :]
+    ).astype(f32)
+    e_lo = (
+        (m % B)[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :]
+    ).astype(f32)
+    v = jnp.arange(n_blocks, dtype=f32)
+    slots = jnp.einsum("na,nb->ab", e_hi, e_lo * v[:, None])
+    slot_c = slots.reshape(A * B)[:cap].astype(jnp.int32)
+    valid = jnp.arange(cap) < num
+
+    def pick(arr):
+        return jnp.where(valid, arr[slot_c], 0)
+
+    return StreamEvents(
+        time_start=pick(e_start),
+        time_stop=pick(e_stop),
+        duration=pick(e_dur),
+        db_min=pick(e_min),
+        db_max=pick(e_max),
+        db_mean=pick(e_mean),
+        db_std=pick(e_std),
+        count=num,
+        overflow=num > cap,
+    )
+
+
+def stream_scan_fused_batch(
+    scfg: StreamConfig,
+    state: StreamState,        # batched: every leaf has leading dim (C,)
+    over_noise: jnp.ndarray,   # (C, n_blocks)
+    psd_db_mean: jnp.ndarray,  # (C, n_blocks)
+    interpret: bool | None = None,
+) -> Tuple[StreamState, StreamEvents, jnp.ndarray]:
+    """Batched fused-kernel form of :func:`stream_scan` — the wide-station
+    solver (BASELINE config 5).  Channels ride the 128 VPU lanes of one
+    Pallas kernel (`ops/pallas/stream_kernel.py`), so the whole batch pays
+    one sequential pass instead of 64 interleaved ones; channel groups
+    beyond 128 run as successive kernel calls.
+
+    Contract: bit-exact vs ``vmap(stream_scan)`` — same base-threshold
+    prologue, an op-for-op mirror of the scan body, and the identical
+    compaction epilogue; pinned in ``tests/test_streaming_fused.py``.
+    (The *unbatched* ``stream_scan`` additionally differs by XLA FMA
+    contraction of ``i·bs − t0`` in the reported ``duration`` and one ULP
+    of ``tr_sumsq``/``db_std`` — decisions are integer/comparison-exact,
+    same caveat class as :func:`stream_scan_jump`.)
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from meteor_scatter_tpu.ops.pallas.stream_kernel import (
+        LANES as _LANES,
+        stream_machine_fused,
+    )
+
+    C, n_blocks = over_noise.shape
+    if C > _LANES:
+        parts = [
+            stream_scan_fused_batch(
+                scfg,
+                jax.tree_util.tree_map(lambda a: a[g : g + _LANES], state),
+                over_noise[g : g + _LANES],
+                psd_db_mean[g : g + _LANES],
+                interpret,
+            )
+            for g in range(0, C, _LANES)
+        ]
+        return (
+            jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *[p[0] for p in parts]),
+            jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *[p[1] for p in parts]),
+            jnp.concatenate([p[2] for p in parts]),
+        )
+
+    dtype = over_noise.dtype
+    w = scfg.avg_win
+    lock_tail = lock_tail_blocks(scfg.after_wait_sec, scfg.block_sec)
+    min_dur_b = min_duration_blocks(scfg.min_dur_sec, scfg.block_sec)
+    base_thr, ext = jax.vmap(
+        lambda r, i, o: _ring_base_thresholds(r, i, o, w, scfg.k_std, dtype)
+    )(state.ring, state.block_idx, over_noise)
+
+    carry_f = jnp.stack([
+        state.locked_threshold, state.track_start_sec,
+        state.tr_sum, state.tr_sumsq, state.tr_min, state.tr_max,
+        state.init_sum, state.psd_db_mean_from_init,
+    ]).astype(jnp.float32)
+    carry_i = jnp.stack([
+        state.state, state.locked_until_block, state.track_start_block,
+        state.tr_count, state.init_count, state.block_idx,
+    ]).astype(jnp.int32)
+
+    ys, cf1, ci1 = stream_machine_fused(
+        over_noise.T.astype(jnp.float32),
+        psd_db_mean.T.astype(jnp.float32),
+        base_thr.T.astype(jnp.float32),
+        carry_f,
+        carry_i,
+        block_sec=float(scfg.block_sec),
+        init_wait_sec=float(scfg.init_wait_sec),
+        min_mean_db=float(scfg.min_mean_db),
+        min_dur_b=int(min_dur_b),
+        lock_tail=int(lock_tail),
+        interpret=interpret,
+    )
+    thresholds = ys[0].T  # (C, n_blocks)
+    outs_c = tuple(y.T for y in ys[1:])
+    events = jax.vmap(lambda *o: _compact_scan_outs(scfg, n_blocks, o))(*outs_c)
+
+    i_end = state.block_idx + n_blocks
+    s = jnp.arange(w)
+
+    def ring_of(ext_row, i0, ie):
+        k_last = ie - w + jnp.mod(s - ie, w)
+        return ext_row[k_last - (i0 - w)]
+
+    ring = jax.vmap(ring_of)(ext, state.block_idx, i_end).astype(state.ring.dtype)
+
+    new_state = StreamState(
+        state=ci1[0], block_idx=i_end, ring=ring,
+        locked_threshold=cf1[0], locked_until_block=ci1[1],
+        track_start_sec=cf1[1], track_start_block=ci1[2],
+        tr_count=ci1[3], tr_sum=cf1[2], tr_sumsq=cf1[3],
+        tr_min=cf1[4], tr_max=cf1[5],
+        init_sum=cf1[6], init_count=ci1[4],
+        psd_db_mean_from_init=cf1[7],
+    )
+    return new_state, events, thresholds
+
+
+def stream_scan_fused(
+    scfg: StreamConfig,
+    state: StreamState,
+    over_noise: jnp.ndarray,   # (n_blocks,)
+    psd_db_mean: jnp.ndarray,  # (n_blocks,)
+    interpret: bool | None = None,
+) -> Tuple[StreamState, StreamEvents, jnp.ndarray]:
+    """Single-series fused-kernel form of :func:`stream_scan` (same
+    (new_state, events, thresholds) contract) — a C=1 slice of
+    :func:`stream_scan_fused_batch`; see there for the exactness
+    contract."""
+    state_b = jax.tree_util.tree_map(lambda a: a[None], state)
+    st, ev, thr = stream_scan_fused_batch(
+        scfg, state_b, over_noise[None], psd_db_mean[None], interpret
+    )
+    return (
+        jax.tree_util.tree_map(lambda a: a[0], st),
+        jax.tree_util.tree_map(lambda a: a[0], ev),
+        thr[0],
+    )

@@ -45,6 +45,7 @@ def main(argv=None) -> int:
         stream_front_headless,
         stream_init_batch,
         stream_scan,
+        stream_scan_fused_batch,
         stream_scan_jump,
         stream_scan_jump_batch,
     )
@@ -53,6 +54,7 @@ def main(argv=None) -> int:
         "scan": stream_scan,
         "jump": stream_scan_jump,
         "hop": stream_scan_jump_batch,
+        "fused": None,  # natively batched — called without vmap below
     }
 
     fs = 4000
@@ -83,22 +85,27 @@ def main(argv=None) -> int:
     for impl in args.impls.split(","):
         solver = solvers[impl]
 
+        if solver is None:
+            def batch_solve(st, on, pm):
+                return stream_scan_fused_batch(scfg, st, on, pm)
+        else:
+            def batch_solve(st, on, pm, solver=solver):
+                return jax.vmap(lambda s, o, p: solver(scfg, s, o, p))(st, on, pm)
+
         @jax.jit
-        def run(xj, st, solver=solver):
+        def run(xj, st, batch_solve=batch_solve):
             on, pm, _ = stream_front_headless(cfg, xj, fs)
-            st2, ev, _ = jax.vmap(lambda s, o, p: solver(scfg, s, o, p))(st, on, pm)
+            st2, ev, _ = batch_solve(st, on, pm)
             return st2, ev
 
         @jax.jit
-        def runk(xj, st, k, solver=solver):
+        def runk(xj, st, k, batch_solve=batch_solve):
             def body(_, s):
                 eps = jnp.where(
                     jnp.isnan(s.tr_sum[0]), jnp.float32(1.0), jnp.float32(0.0)
                 )
                 on, pm, _ = stream_front_headless(cfg, xj + eps, fs)
-                s2, _, _ = jax.vmap(lambda sc, o, p: solver(scfg, sc, o, p))(
-                    s, on, pm
-                )
+                s2, _, _ = batch_solve(s, on, pm)
                 return s2
 
             return jax.lax.fori_loop(0, k, body, st)
