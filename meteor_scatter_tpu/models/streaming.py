@@ -302,19 +302,42 @@ def _ring_base_thresholds(ring, i0, on, w: int, k_std, dtype):
 
     The scan's reduction sums the ring in *physical slot order*; slot j just
     before absolute step i holds the value at block ``k = i-w + ((j-i) mod
-    w)``, so the whole trailing-window matrix is one gather over
-    ``concat(previous-ring-in-absolute-order, chunk)`` and the reduction
-    order (j = 0..w-1) is preserved exactly.
+    w)``, so the trailing-window matrix is ``concat(previous-ring-in-
+    absolute-order, chunk)`` windowed and per-row rotated.
+
+    The window matrix is built WITHOUT data-dependent gather indices:
+    XLA:TPU lowers a batched gather whose indices depend on a traced
+    ``i0`` to a serialized path measured at ~60 ms for 64 channels ×
+    3000 blocks — it was the shared floor under every streaming solver.
+    Instead: ``w`` *static* slices give the natural sliding windows
+    ``nat[i, m] = ext[i+m]``, and the slot-order rotation — whose amount
+    ``(-(i0+i)) mod w`` depends on ``i`` only through the row class
+    ``c = i mod w`` — is applied by one (w, w, w) one-hot einsum on the
+    MXU.  A one-hot contraction copies each element exactly (1·x plus
+    0-terms), so the result is bit-identical to the gather it replaces
+    for finite inputs; a ±inf level (digital-silence dB) turns into NaN
+    over its whole window rather than staying ±inf — both are equally
+    degenerate detector states in the reference semantics.
     """
     n = on.shape[0]
-    ks = i0 - w + jnp.arange(w)
-    prev_vals = ring[jnp.mod(ks, w)]  # value at absolute block k (zeros if unwritten)
+    j2 = jnp.arange(w)
+    # prev_vals[m] = ring[(i0 - w + m) mod w] — one-hot matmul, not gather
+    src = jnp.mod(i0 - w + j2, w)
+    prev_vals = (src[:, None] == j2[None, :]).astype(dtype) @ ring.astype(dtype)
     ext = jnp.concatenate([prev_vals, on.astype(dtype)])
+
+    g = -(-n // w)
+    n_pad = g * w
+    ext_p = jnp.concatenate([ext, jnp.zeros(n_pad - n + w - 1, dtype)])
+    nat = jnp.stack([ext_p[m : m + n_pad] for m in range(w)], axis=1)  # (n_pad, w)
+
+    # v[i, j] = nat[i, (j - i0 - i) mod w]; rotation shared by row class
+    rot = jnp.mod(j2[None, :] - i0 - j2[:, None], w)  # (class c, j)
+    onehot = (rot[:, None, :] == j2[None, :, None]).astype(dtype)  # (c, m, j)
+    v = jnp.einsum("gcm,cmj->gcj", nat.reshape(g, w, w), onehot).reshape(n_pad, w)[:n]
 
     i_abs = i0 + jnp.arange(n)[:, None]
     j = jnp.arange(w)[None, :]
-    k = i_abs - w + jnp.mod(j - i_abs, w)
-    v = ext[k - (i0 - w)]
     cnt = jnp.minimum(i_abs[:, 0], w)
     valid = j < cnt[:, None]
     cnt_f = jnp.maximum(cnt, 1).astype(dtype)
