@@ -141,14 +141,25 @@ def tpu_pipeline(x_np: np.ndarray):
 
     reps = 3
     k = 21
-    t1 = min(timed(1) for _ in range(reps))
-    tk = min(timed(k) for _ in range(reps))
+    # keep every rep (not just the min): the per-rep spread is the artifact's
+    # own tunnel/host-load indicator (VERDICT r3 item 3) — a wide spread
+    # marks a noisy day, a tight spread with a changed per-exec time marks a
+    # real regression.
+    t1s = [timed(1) for _ in range(reps)]
+    tks = [timed(k) for _ in range(reps)]
+    t1 = min(t1s)
+    tk = min(tks)
     dt = (tk - t1) / (k - 1)
     if dt <= 0:
         print("# warning: chained timing noise-bound; reporting the "
               "round-trip-inclusive upper bound", file=sys.stderr)
         dt = tk / k
-    return len(x_np) / dt, dt
+    diag = {
+        "t1_ms": [round(v * 1e3, 3) for v in t1s],
+        "tk_ms": [round(v * 1e3, 3) for v in tks],
+        "chain_k": k,
+    }
+    return len(x_np) / dt, dt, diag
 
 
 def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
@@ -249,19 +260,35 @@ def verify_fused_vs_parallel(x_np: np.ndarray) -> dict:
 
 
 def stations_pipeline(
-    n_stations: int = 64, seconds: float = 600.0, impl: str = "scan"
-) -> float:
+    n_stations: int = 64, seconds: float = 600.0, impl: str = "fused",
+    gate: bool = True,
+):
     """BASELINE config 5 on one chip: N stations × continuous 4 kHz streams
     through the streaming 3-state machine (headless bins front half +
-    vmapped block-rate solver, chunk-carried state).  Aggregate input
-    samples/s; the pod-scale version of this shards the same code over a
-    (station, time) mesh (`parallel/sharded.py::sharded_stream_process`).
+    block-rate solver, chunk-carried state).  Returns (aggregate input
+    samples/s, gate dict); the pod-scale version of this shards the same
+    code over a (station, time) mesh
+    (`parallel/sharded.py::sharded_stream_process(impl="fused")`).
 
-    Measured on-chip (2026-08-19, 64 ch × 600 s): scan 1.62 G, jump 1.43 G
-    aggregate samples/s — the vmapped while_loop runs lockstep until every
-    channel's episodes finish, so at wide batch the scan's per-step
-    overhead (amortized across channels) wins, while jump wins ~10x for
-    single-stream latency (tools/streaming_bench.py).  Hence scan here."""
+    Default solver is the fused Pallas streaming-machine kernel
+    (`stream_scan_fused_batch`): channels ride the VPU lanes of one kernel,
+    so the whole batch pays a single sequential pass.  Measured on-chip
+    (tools/stations_bench.py, 2026-08-21, 64 ch × 600 s, identical event
+    lists): fused 29.7 ms / 5.18 G agg samples/s vs vmapped scan 30.7 ms /
+    5.00 G — the raw kernel is ~15x the scan core (4.1 ms vs 61-68 ms at
+    64 ch × 3000 blocks, measured against the pre-scatter-free-compaction
+    scan), and end-to-end both are now dominated by the shared bins front +
+    base-threshold prologue + compaction epilogue (see TODO.md).  Earlier
+    crossover notes (2026-08-19: scan 1.62 G vs jump 1.43 G agg samples/s
+    at 64 ch, because lockstep vmapped while_loops wait for the worst
+    channel) are superseded; jump/hop still win for single-stream latency
+    (tools/streaming_bench.py).
+
+    ``gate=True`` (the default) first runs the vmapped scan AND the chosen
+    solver once on the same workload and requires identical event lists
+    (start/stop/count per station, bit-exact) before timing — the on-chip
+    event-equality gate VERDICT r3 required for defaulting fused, and the
+    compiled-path (Mosaic) parity check ADVICE r3 asked for."""
     import jax
     import jax.numpy as jnp
 
@@ -271,14 +298,16 @@ def stations_pipeline(
         stream_front_headless,
         stream_init_batch,
         stream_scan,
+        stream_scan_fused_batch,
         stream_scan_jump,
         stream_scan_jump_batch,
     )
 
-    solver = {
+    per_ch_solver = {
         "scan": stream_scan,
         "jump": stream_scan_jump,
         "hop": stream_scan_jump_batch,
+        "fused": None,  # batch-native — called without vmap
     }[impl]
 
     fs = 4000
@@ -297,11 +326,16 @@ def stations_pipeline(
         m = (t >= s0) & (t < s0 + 1.0)
         x_np[c, m] += 1.5 * np.sin(2 * np.pi * 1000.0 * t[m]).astype(np.float32)
 
+    def batch_solve(st, on, pm):
+        if per_ch_solver is None:
+            return stream_scan_fused_batch(scfg, st, on, pm)
+        return jax.vmap(lambda s, o, p: per_ch_solver(scfg, s, o, p))(st, on, pm)
+
     @jax.jit
     def run(x, st):
         on, pm, _ = stream_front_headless(cfg, x, fs)
-        st2, ev, _ = jax.vmap(lambda s, o, p: solver(scfg, s, o, p))(st, on, pm)
-        return st2, ev.count
+        st2, ev, _ = batch_solve(st, on, pm)
+        return st2, ev
 
     # in-graph chained timing (see tpu_pipeline): k state-carried executions
     # inside one dispatch — host-loop chaining pays the tunnel dispatch
@@ -312,15 +346,38 @@ def stations_pipeline(
         def body(_, s):
             eps = jnp.where(jnp.isnan(s.tr_sum[0]), jnp.float32(1.0), jnp.float32(0.0))
             on, pm, _ = stream_front_headless(cfg, x + eps, fs)
-            s2, _, _ = jax.vmap(lambda sc, o, p: solver(scfg, sc, o, p))(s, on, pm)
+            s2, _, _ = batch_solve(s, on, pm)
             return s2
 
         return jax.lax.fori_loop(0, k, body, st)
 
     st0 = stream_init_batch(scfg, n_stations)
     x = jnp.asarray(x_np)  # hoisted: the host->device upload must not be timed
-    st, counts = run(x, st0)
-    np.asarray(counts)  # correctness pass: events found per station
+    st, ev = run(x, st0)
+    counts = np.asarray(ev.count)  # correctness pass: events found per station
+
+    gate_info: dict = {"stations_impl": impl, "stations_events": int(counts.sum())}
+    if gate and impl != "scan":
+        @jax.jit
+        def run_scan(x, st):
+            on, pm, _ = stream_front_headless(cfg, x, fs)
+            st2, ev, _ = jax.vmap(lambda s, o, p: stream_scan(scfg, s, o, p))(
+                st, on, pm
+            )
+            return st2, ev
+
+        _, ev_s = run_scan(x, st0)
+        equal = (
+            np.array_equal(np.asarray(ev_s.count), counts)
+            and np.array_equal(np.asarray(ev_s.time_start), np.asarray(ev.time_start))
+            and np.array_equal(np.asarray(ev_s.time_stop), np.asarray(ev.time_stop))
+        )
+        gate_info[f"stations_{impl}_equals_scan"] = bool(equal)
+        if not equal:
+            raise RuntimeError(
+                f"stations gate: impl={impl} event lists differ from scan"
+            )
+
     int(np.asarray(runk(x, st0, 1).block_idx[0]))
 
     def timed(k):
@@ -334,7 +391,7 @@ def stations_pipeline(
     dt = (tk - t1) / 5.0
     if dt <= 0:
         dt = tk / 6.0
-    return x_np.size / dt
+    return x_np.size / dt, gate_info
 
 
 def image_pipeline(n_segments: int = 8, seconds: float = 30.0, fs: int = 5000) -> float:
@@ -564,11 +621,18 @@ def main() -> int:
 
     x = synth_audio(tpu_secs, seed=2)
     with maybe_profile(sys.argv):
-        sps, dt = tpu_pipeline(x)
+        sps, dt, timing_diag = tpu_pipeline(x)
     print(f"# tpu: {len(x):,} samples in {dt * 1e3:.2f} ms -> {sps:,.0f} samples/s",
           file=sys.stderr)
 
-    extra: dict = {}
+    # self-diagnosing artifact fields (VERDICT r3 item 3): single-shot t1 and
+    # chained-timing per-rep spread expose tunnel/host conditions; the CPU
+    # baseline rate exposes baseline drift — BASELINE.md explains how to read
+    # them.
+    extra: dict = {
+        "baseline_cpu_samples_per_sec": round(base_sps),
+        **timing_diag,
+    }
 
     # on-chip correctness gate (VERDICT r1 item 1): the flagship perf claim
     # rests on the fused Pallas solver emitting the same events as the XLA
@@ -576,8 +640,9 @@ def main() -> int:
     # `--no-verify` skips it (e.g. while iterating on timing only).
     if "--no-verify" not in sys.argv:
         try:
-            extra.update(verify_fused_vs_parallel(x))
-            print(f"# verify fused-vs-xla: {extra}", file=sys.stderr)
+            gate = verify_fused_vs_parallel(x)
+            extra.update(gate)
+            print(f"# verify fused-vs-xla: {gate}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — record the failure, keep the metric
             extra["fused_equals_xla"] = False
             extra["verify_error"] = str(e)[:200]
@@ -600,10 +665,15 @@ def main() -> int:
     # continuous 4 kHz streams through the streaming state machine
     if "--stations" in sys.argv:
         try:
-            st_sps = stations_pipeline(n_stations=64, seconds=120.0 if quick else 600.0)
-            print(f"# tpu 64-station streaming: {st_sps:,.0f} aggregate samples/s "
-                  f"({st_sps / (4000 * 64):,.0f}x realtime)", file=sys.stderr)
+            st_sps, st_gate = stations_pipeline(
+                n_stations=64, seconds=120.0 if quick else 600.0
+            )
+            print(f"# tpu 64-station streaming ({st_gate['stations_impl']}): "
+                  f"{st_sps:,.0f} aggregate samples/s "
+                  f"({st_sps / (4000 * 64):,.0f}x realtime); gate {st_gate}",
+                  file=sys.stderr)
             extra["stations64_samples_per_sec"] = round(st_sps)
+            extra.update(st_gate)
         except Exception as e:  # noqa: BLE001
             print(f"# tpu 64-station metric skipped: {e}", file=sys.stderr)
 

@@ -57,7 +57,8 @@ class LiveSession:
         )
         # block-rate solver: "auto" (backend-dependent fast path, see
         # models/streaming.py resolve_stream_auto), "scan" (reference
-        # formulation), or the episode-jump fast paths "jump"/"hop"
+        # formulation), the episode-jump fast paths "jump"/"hop", or the
+        # batch-built Pallas kernel "fused"
         self.impl = impl
         self.vis = vis or VisualizationConfig()
         self.spec = spec or SpecExportConfig()
@@ -216,12 +217,15 @@ def main(argv=None) -> int:
     p.add_argument("--headless", action="store_true",
                    help="bins-only front half (no PSD waterfall/exports/UI); "
                         "band numerics within f32 noise of the Welch path")
-    p.add_argument("--impl", choices=("auto", "scan", "jump", "hop"), default="auto",
-                   help="block-rate solver: reference-formulation scan or the "
+    p.add_argument("--impl", choices=("auto", "scan", "jump", "hop", "fused"),
+                   default="auto",
+                   help="block-rate solver: reference-formulation scan, the "
                         "episode-jump fast paths — 'jump' (full-series "
-                        "searches) or 'hop' (windowed, built for wide "
-                        "batches); both give bit-exact event boundaries, "
-                        "dB stats to f32 reduction order")
+                        "searches) or 'hop' (windowed; both give bit-exact "
+                        "event boundaries, dB stats to f32 reduction order) — "
+                        "or 'fused' (the Pallas streaming-machine kernel, "
+                        "bit-exact vs the vmapped scan; built for wide "
+                        "station batches)")
     args = p.parse_args(argv)
     if args.headless and (args.ui or args.spec_export_dir):
         p.error("--headless excludes --ui and --spec-export-dir (both need the PSD waterfall)")

@@ -315,15 +315,23 @@ def _ring_base_thresholds(ring, i0, on, w: int, k_std, dtype):
     ``c = i mod w`` — is applied by one (w, w, w) one-hot einsum on the
     MXU.  A one-hot contraction copies each element exactly (1·x plus
     0-terms), so the result is bit-identical to the gather it replaces
-    for finite inputs; a ±inf level (digital-silence dB) turns into NaN
-    over its whole window rather than staying ±inf — both are equally
-    degenerate detector states in the reference semantics.
+    for finite inputs; a raw ±inf level would turn into NaN over its whole
+    window via 0·inf terms, so the front halves clamp ±inf to a finite
+    sentinel before any solver sees it (:func:`_sanitize_levels`).
     """
     n = on.shape[0]
     j2 = jnp.arange(w)
-    # prev_vals[m] = ring[(i0 - w + m) mod w] — one-hot matmul, not gather
+    # prev_vals[m] = ring[(i0 - w + m) mod w] — one-hot matmul, not gather.
+    # Precision.HIGHEST on every one-hot contraction here: a DEFAULT f32 dot
+    # may lower to reduced-precision bf16 passes on some XLA versions, which
+    # would silently round thresholds — the repo convention for
+    # exactness-critical dots (ops/fir.py, ops/bandpower.py).
     src = jnp.mod(i0 - w + j2, w)
-    prev_vals = (src[:, None] == j2[None, :]).astype(dtype) @ ring.astype(dtype)
+    prev_vals = jnp.matmul(
+        (src[:, None] == j2[None, :]).astype(dtype),
+        ring.astype(dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     ext = jnp.concatenate([prev_vals, on.astype(dtype)])
 
     g = -(-n // w)
@@ -334,7 +342,10 @@ def _ring_base_thresholds(ring, i0, on, w: int, k_std, dtype):
     # v[i, j] = nat[i, (j - i0 - i) mod w]; rotation shared by row class
     rot = jnp.mod(j2[None, :] - i0 - j2[:, None], w)  # (class c, j)
     onehot = (rot[:, None, :] == j2[None, :, None]).astype(dtype)  # (c, m, j)
-    v = jnp.einsum("gcm,cmj->gcj", nat.reshape(g, w, w), onehot).reshape(n_pad, w)[:n]
+    v = jnp.einsum(
+        "gcm,cmj->gcj", nat.reshape(g, w, w), onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(n_pad, w)[:n]
 
     i_abs = i0 + jnp.arange(n)[:, None]
     j = jnp.arange(w)[None, :]
@@ -345,6 +356,23 @@ def _ring_base_thresholds(ring, i0, on, w: int, k_std, dtype):
     m2 = jnp.sum(jnp.where(valid, v * v, 0), axis=1) / cnt_f
     std = jnp.sqrt(jnp.maximum(m2 - m * m, 0))
     return jnp.where(cnt > 0, m + k_std * std, jnp.nan), ext
+
+
+def _sanitize_levels(on: jnp.ndarray) -> jnp.ndarray:
+    """Clamp ±inf over-noise levels (digital-silence / saturated-capture dB)
+    to a large finite sentinel at the front/solver boundary.  The one-hot
+    threshold contraction in :func:`_ring_base_thresholds` would turn a ±inf
+    sample into NaN over its whole trailing window via 0·inf terms, whereas
+    the reference-formulation gather kept ±inf localized (ADVICE r3);
+    clamping restores locality for degenerate captures.  Finite values pass
+    through bit-unchanged (`clip` is the identity inside the bounds), so
+    every solver-parity and oracle contract is unaffected on real signals.
+    The sentinel is 1e15, not f32-max: the rolling-variance sums square the
+    levels, and the square must itself stay finite in f32 (1e30 < 3.4e38)
+    or the ±inf would just reappear one op later.  Physical dB levels are
+    O(±100), so the clamp can never touch a real signal."""
+    big = jnp.asarray(1e15, on.dtype)
+    return jnp.clip(on, -big, big)
 
 
 def stream_front(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
@@ -368,7 +396,7 @@ def stream_front(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
     ms_db = band_sum_db(psd, freqs, cfg.signal_band)
     n1_db = band_sum_db(psd, freqs, cfg.noise_band_1)
     n2_db = band_sum_db(psd, freqs, cfg.noise_band_2)
-    over_noise = ms_db - (n1_db + n2_db) / 2.0
+    over_noise = _sanitize_levels(ms_db - (n1_db + n2_db) / 2.0)
     psd_db_mean = jnp.mean(psd_db, axis=-1)
     diags = {
         "ms_db": ms_db,
@@ -410,7 +438,7 @@ def stream_front_headless(cfg: DetectionConfig, samples: jnp.ndarray, fs: float)
         (cfg.signal_band, cfg.noise_band_1, cfg.noise_band_2),
     )
     ms_db, n1_db, n2_db = welch_band_sums_db(x, nperseg, jnp.asarray(P), slices)
-    over_noise = ms_db - (n1_db + n2_db) / 2.0
+    over_noise = _sanitize_levels(ms_db - (n1_db + n2_db) / 2.0)
     psd_db_mean = jnp.zeros_like(over_noise)
     diags = {"ms_db": ms_db, "noise1_db": n1_db, "noise2_db": n2_db}
     return over_noise, psd_db_mean, diags
@@ -627,7 +655,8 @@ def stream_scan_jump_batch(
     over_noise: jnp.ndarray,  # (n_blocks,)
     psd_db_mean: jnp.ndarray,  # (n_blocks,)
     track_hop: int = 128,
-) -> Tuple[StreamState, StreamEvents, jnp.ndarray]:
+    with_diag: bool = False,
+):
     """Episode-jump solver built for wide vmapped batches (VERDICT r2 §2).
 
     :func:`stream_scan_jump`'s loop body costs O(n_blocks) per iteration
@@ -663,7 +692,12 @@ def stream_scan_jump_batch(
     (per-hop masked sums vs sequential adds), the same caveat class as
     :func:`stream_scan_jump`.  Threshold reconstruction degrades (only the
     diagnostic series, never events) beyond ``4·cap + 8`` lock episodes
-    per chunk.
+    per chunk; that condition is detectable at runtime — pass
+    ``with_diag=True`` to get a fourth return value ``{"thr_degraded":
+    bool}`` mirroring the event buffers' ``count``/``overflow`` contract
+    (True iff a lock-episode record was dropped, i.e. the returned
+    threshold series may substitute base thresholds inside dropped lock
+    windows).
 
     Reference semantics anchor: `dsp/src/live/backend/processor.py:444-510`.
 
@@ -733,12 +767,12 @@ def stream_scan_jump_batch(
         state.tr_count, state.tr_sum, state.tr_sumsq,
         state.tr_min, state.tr_max,
         e_buf0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
-        ep_i0, ep_lv0, jnp.asarray(1, jnp.int32),
+        ep_i0, ep_lv0, jnp.asarray(1, jnp.int32), jnp.asarray(False),
     )
 
     def body(c):
         (k, s, L, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
-         e_buf, e_cnt, e_ovf, ep_i, ep_lv, ep_cnt) = c
+         e_buf, e_cnt, e_ovf, ep_i, ep_lv, ep_cnt, ep_ovf) = c
         is_det = s == DETECT
         wv = jax.lax.dynamic_slice(on_pad, (k,), (W,))
         widx = k + lane
@@ -824,14 +858,16 @@ def stream_scan_jump_batch(
             ep_i2,
             ep_lv2,
             ep_cnt + rec.astype(jnp.int32),
+            ep_ovf | (rec & (ep_cnt >= ep_cap)),
         )
 
     carry = jax.lax.while_loop(lambda c: c[0] < n_blocks, body, carry0)
     (k, s, L, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
-     e_buf, e_cnt, e_ovf, ep_i, ep_lv, ep_cnt) = carry
+     e_buf, e_cnt, e_ovf, ep_i, ep_lv, ep_cnt, ep_ovf) = carry
 
     # a chunk that ends mid-track keeps its locked value live to the end
     end_track = s == TRACK
+    ep_ovf = ep_ovf | (end_track & (ep_cnt >= ep_cap))
     eslot = jnp.where(end_track & (ep_cnt < ep_cap), ep_cnt, ep_cap)
     ep_i = ep_i.at[:, eslot].set(
         jnp.stack([tsblk - i0, jnp.asarray(n_blocks - 1, jnp.int32)]),
@@ -876,22 +912,39 @@ def stream_scan_jump_batch(
         tr_count=trc, tr_sum=trs, tr_sumsq=trss, tr_min=trmn, tr_max=trmx,
         init_sum=isum, init_count=icnt, psd_db_mean_from_init=pinit,
     )
+    if with_diag:
+        return new_state, events, thr_out, {"thr_degraded": ep_ovf}
     return new_state, events, thr_out
 
 
-def resolve_stream_auto(front: str, impl: str) -> Tuple[str, str]:
+def resolve_stream_auto(front: str, impl: str, n_channels: int = 1) -> Tuple[str, str]:
     """Resolve ``front``/``impl`` ``"auto"`` selections (VERDICT r2 item 3,
     mirroring ``detect_adaptive(impl="auto")``).
 
-    On TPU the fast path is the default: the bins-only matmul front plus
-    the windowed episode-jump solver — measured 6.6 ms per hour of audio vs
-    the reference-formulation welch:scan's 123 ms (tools/streaming_bench.py,
-    2026-08-20), with identical event lists on every fixture, golden
-    parity 3/3, and the decision-flip risk bounded in PARITY.md (accept
+    On TPU the fast path is the default: the bins-only matmul front plus —
+    for single/few streams — the windowed episode-jump solver (``hop``,
+    measured 6.6 ms per hour of audio vs the reference-formulation
+    welch:scan's 123 ms, tools/streaming_bench.py 2026-08-20), and for wide
+    station batches (``n_channels >= 8``) the fused Pallas
+    streaming-machine kernel (``fused``, `ops/pallas/stream_kernel.py`):
+    channels ride the VPU lanes of one kernel, so the batch pays a single
+    sequential pass — raw kernel ~15x over the scan core, end-to-end
+    fused 5.18 G vs scan 5.00 G agg samples/s at 64 ch × 600 s with the
+    shared front/prologue/epilogue now dominating both
+    (tools/stations_bench.py, 2026-08-21; the scan previously beat
+    jump/hop in this regime because lockstep vmapped while_loops wait for
+    the worst channel).  Event lists are identical on every fixture, golden
+    parity 3/3, the decision-flip risk is bounded in PARITY.md (accept
     margins sit orders of magnitude above the formulation deltas; boundary
-    comparisons and lock windows are shared/integer-exact).  On CPU the
-    reference formulation stays the default: the fast path's advantage is
-    TPU-specific and the welch front is what the oracles pin bit-exactly.
+    comparisons and lock windows are shared/integer-exact), and fused is
+    additionally bit-exact vs the vmapped scan
+    (tests/test_streaming_fused.py).  On CPU the reference formulation
+    stays the default: the fast paths' advantage is TPU-specific and the
+    welch front is what the oracles pin bit-exactly.
+
+    ``n_channels`` is the batch width the caller will run the solver at
+    (leading vmap/shard axis); callers resolving for a single series can
+    omit it.
 
     Callers that need the PSD waterfall (live UI, spec export) must pass
     ``front="welch"`` explicitly — the bins front computes only the three
@@ -901,7 +954,10 @@ def resolve_stream_auto(front: str, impl: str) -> Tuple[str, str]:
     if front == "auto":
         front = "bins" if on_tpu else "welch"
     if impl == "auto":
-        impl = "hop" if on_tpu else "scan"
+        if on_tpu:
+            impl = "fused" if n_channels >= 8 else "hop"
+        else:
+            impl = "scan"
     return front, impl
 
 
@@ -961,20 +1017,25 @@ def stream_process(
         over_noise, psd_db_mean, front_diags = stream_front(cfg, samples, fs)
     else:
         raise ValueError(f"unknown front {front!r} (use 'welch' or 'bins')")
+    extra_diags = {}
     if impl == "scan":
-        solver = stream_scan
+        state, events, thresholds = stream_scan(scfg, state, over_noise, psd_db_mean)
     elif impl == "jump":
-        solver = stream_scan_jump
+        state, events, thresholds = stream_scan_jump(scfg, state, over_noise, psd_db_mean)
     elif impl == "hop":
-        solver = stream_scan_jump_batch
+        state, events, thresholds, extra_diags = stream_scan_jump_batch(
+            scfg, state, over_noise, psd_db_mean, with_diag=True
+        )
     elif impl == "fused":
-        solver = stream_scan_fused
+        state, events, thresholds = stream_scan_fused(scfg, state, over_noise, psd_db_mean)
     else:
         raise ValueError(
             f"unknown impl {impl!r} (use 'scan', 'jump', 'hop' or 'fused')"
         )
-    state, events, thresholds = solver(scfg, state, over_noise, psd_db_mean)
-    diags = {"over_noise": over_noise, "threshold": thresholds, **front_diags}
+    diags = {
+        "over_noise": over_noise, "threshold": thresholds,
+        **extra_diags, **front_diags,
+    }
     return state, events, diags
 
 
@@ -1150,7 +1211,12 @@ def _compact_scan_outs(scfg: StreamConfig, n_blocks: int, outs) -> StreamEvents:
         (m % B)[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :]
     ).astype(f32)
     v = jnp.arange(n_blocks, dtype=f32)
-    slots = jnp.einsum("na,nb->ab", e_hi, e_lo * v[:, None])
+    # HIGHEST: a bf16 pass would corrupt block indices above 256 (not
+    # bf16-representable) and mis-map event slots
+    slots = jnp.einsum(
+        "na,nb->ab", e_hi, e_lo * v[:, None],
+        precision=jax.lax.Precision.HIGHEST,
+    )
     slot_c = slots.reshape(A * B)[:cap].astype(jnp.int32)
     valid = jnp.arange(cap) < num
 

@@ -424,8 +424,16 @@ def sharded_stream_process(
     ``stream_init_batch``), so chunked long-stream processing keeps working
     across calls exactly like the single-device path.
 
-    ``impl="jump"`` swaps the replicated block-rate scan for the
-    episode-jump solver (same parity caveats as the single-device path).
+    ``impl="jump"``/``"hop"`` swap the replicated block-rate scan for the
+    episode-jump solvers (same parity caveats as the single-device path).
+    ``impl="fused"`` runs the batch-native fused Pallas streaming-machine
+    kernel (`ops/pallas/stream_kernel.py`) on each device's *local* station
+    group — the bins/welch front stays sharded over (station, time), the
+    block-rate series is all-gathered over time as usual, and the kernel
+    walks all local channels in one sequential pass on the VPU lanes
+    (bit-exact vs the vmapped scan, tests/test_streaming_fused.py).
+    ``impl="auto"`` resolves by batch width (``resolve_stream_auto`` with
+    ``n_channels=C``): fused for wide station batches on TPU.
     ``front="bins"`` selects the headless bins-only front half
     (:func:`meteor_scatter_tpu.models.streaming.stream_front_headless` —
     one MXU matmul per shard instead of full Welch PSDs); no psd waterfall
@@ -444,16 +452,17 @@ def sharded_stream_process(
         stream_front_headless,
         stream_init_batch,
         stream_scan,
+        stream_scan_fused_batch,
         stream_scan_jump,
         stream_scan_jump_batch,
     )
     from meteor_scatter_tpu.ops.welch import welch_freqs
 
-    front, impl = resolve_stream_auto(front, impl)
+    n_ch, S = x.shape
+    front, impl = resolve_stream_auto(front, impl, n_channels=n_ch)
     scfg = StreamConfig.from_config(cfg)
     block = int(round(cfg.proc_block_sec * fs))
     n_time = mesh.shape[TIME_AXIS]
-    n_ch, S = x.shape
     if S % n_time or (S // n_time) % block:
         raise ValueError(
             f"samples per time shard ({S}/{n_time}) must be a whole number "
@@ -470,8 +479,12 @@ def sharded_stream_process(
         solver = stream_scan_jump
     elif impl == "hop":
         solver = stream_scan_jump_batch
+    elif impl == "fused":
+        solver = None  # batch-native: one kernel per local station group
     else:
-        raise ValueError(f"unknown impl {impl!r} (use 'scan', 'jump' or 'hop')")
+        raise ValueError(
+            f"unknown impl {impl!r} (use 'scan', 'jump', 'hop' or 'fused')"
+        )
     headless = front == "bins"
 
     def local(xl, st):  # (C_loc, S_loc); state leaves (C_loc, ...)
@@ -481,9 +494,12 @@ def sharded_stream_process(
             on, pm, dfront = stream_front(cfg, xl, fs)
         on_full = lax.all_gather(on, TIME_AXIS, axis=-1, tiled=True)
         pm_full = lax.all_gather(pm, TIME_AXIS, axis=-1, tiled=True)
-        st2, ev, thr = jax.vmap(lambda s, o, p: solver(scfg, s, o, p))(
-            st, on_full, pm_full
-        )
+        if solver is None:
+            st2, ev, thr = stream_scan_fused_batch(scfg, st, on_full, pm_full)
+        else:
+            st2, ev, thr = jax.vmap(lambda s, o, p: solver(scfg, s, o, p))(
+                st, on_full, pm_full
+            )
         if headless:
             return st2, ev, thr, on_full
         return st2, ev, thr, on_full, dfront["psd_db"]

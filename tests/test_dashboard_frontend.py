@@ -67,6 +67,97 @@ def css_selector_classes(css: str) -> set:
     return set(re.findall(r"\.([a-zA-Z][\w\-]*)", selectors))
 
 
+def css_rules(css: str) -> dict:
+    """{selector: {property: value}} for every top-level rule (comments
+    stripped; @-rules skipped).  Minimal by design — enough to assert
+    layout-critical declarations without a real CSS engine."""
+    css = re.sub(r"/\*.*?\*/", "", css, flags=re.S)
+    rules = {}
+    for sel, body in re.findall(r"([^{}@]+)\{([^{}]*)\}", css):
+        decls = {}
+        for decl in body.split(";"):
+            decl = decl.strip()
+            if not decl:
+                continue
+            assert ":" in decl, f"malformed declaration {decl!r} in {sel.strip()!r}"
+            name, _, value = decl.partition(":")
+            decls[name.strip()] = value.strip()
+        rules.setdefault(sel.strip(), {}).update(decls)
+    return rules
+
+
+class TestCssLayoutSanity:
+    """Property-level sanity for layout-critical rules (VERDICT r3 item 8):
+    no browser exists in this image, so a broken display/position/size on
+    the slideshow, gauge, or dot containers must at least be
+    lint-detectable.  These pin the *mechanism* each layout relies on, not
+    cosmetic values."""
+
+    RULES = css_rules(STYLES)
+
+    def _rule(self, selector):
+        assert selector in self.RULES, f"CSS rule {selector!r} missing"
+        return self.RULES[selector]
+
+    def test_css_parses_balanced(self):
+        stripped = re.sub(r"/\*.*?\*/", "", STYLES, flags=re.S)
+        assert stripped.count("{") == stripped.count("}")
+        # nothing outside rule blocks except selectors/whitespace
+        leftovers = re.sub(r"[^{}@]+\{[^{}]*\}", "", stripped)
+        assert not re.search(r"[:;]", leftovers), (
+            f"declarations outside any rule block: {leftovers.strip()[:80]!r}"
+        )
+
+    def test_page_grid_layout(self):
+        main = self._rule("main")
+        assert main.get("display") == "grid"
+        cols = main.get("grid-template-columns", "")
+        assert len(cols.split()) >= 2, "main grid must keep 2 columns (slideshow + side panel)"
+
+    def test_header_flex_layout(self):
+        header = self._rule("header")
+        assert header.get("display") == "flex"
+        assert "space-between" in header.get("justify-content", "")
+
+    def test_chart_images_scale_to_panel(self):
+        # the slideshow/gauge <img> elements carry no width attributes; the
+        # CSS rule is the only thing preventing a 3000px-wide overflow
+        sel = next((s for s in self.RULES
+                    if ".slideshow img" in s and ".gauge-panel img" in s), None)
+        assert sel, "slideshow/gauge img sizing rule missing"
+        r = self.RULES[sel]
+        assert r.get("width") == "100%" and r.get("height") == "auto"
+
+    def test_dots_visible_and_clickable(self):
+        dot = self._rule(".dot")
+        assert dot.get("display") == "inline-block", "dots must not collapse to 0x0 inline"
+        for prop in ("width", "height"):
+            v = dot.get(prop, "0")
+            assert re.fullmatch(r"\d+(\.\d+)?(px|rem|em)", v) and float(
+                re.match(r"[\d.]+", v).group()
+            ) > 0, f".dot {prop} must be a nonzero length, got {v!r}"
+        assert dot.get("cursor") == "pointer"
+        active = self._rule(".dot.active")
+        assert active.get("background") and active["background"] != dot.get("background"), (
+            "active dot must be visually distinct"
+        )
+
+    def test_slideshow_controls_flex_row(self):
+        r = self._rule(".slideshow-controls")
+        assert r.get("display") == "flex"
+
+    def test_missing_days_bounded(self):
+        r = self._rule("#missing-days")
+        assert "max-height" in r and r.get("overflow-y") == "auto", (
+            "missing-days list must scroll, not grow the page"
+        )
+
+    def test_body_resets(self):
+        body = self._rule("body")
+        assert body.get("margin") == "0"
+        assert "background" in body
+
+
 class TestDomContract:
     def test_every_get_element_id_exists_in_template(self):
         ids = set(re.findall(r'getElementById\("([\w-]+)"\)', SCRIPT_JS))

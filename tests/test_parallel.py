@@ -247,11 +247,15 @@ class TestShardedStreaming:
                     err_msg=f"state.{name} ch{c}",
                 )
 
-    @pytest.mark.parametrize("impl", ["scan", "jump", "hop"])
+    @pytest.mark.parametrize("impl", ["scan", "jump", "hop", "fused"])
     def test_headless_front_equals_unsharded(self, mesh, impl):
-        # front="bins" composes with time sharding (and impl="jump" with
-        # both): sharded must equal the single-device path bit-for-bit
-        # (events, state, thresholds), with no psd waterfall in the diags
+        # front="bins" composes with time sharding (and impl="jump"/"hop"/
+        # "fused" with both): sharded must equal the single-device path
+        # bit-for-bit (events, state, thresholds), with no psd waterfall in
+        # the diags.  impl="fused" runs the batch-native Pallas kernel on
+        # each device's local station group (VERDICT r3 item 4); the kernel
+        # is lane-parallel with no cross-lane ops, so the local-group batch
+        # is bit-identical to the unsharded C=1 slices.
         from meteor_scatter_tpu.models.streaming import (
             StreamConfig,
             stream_init,

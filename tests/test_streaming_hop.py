@@ -144,6 +144,55 @@ class TestHopEqualsScan:
         )
 
 
+class TestSanitizeLevels:
+    """±inf over-noise levels (digital-silence dB: band_sum_db of a silent
+    signal band is 10·log10(0) = -inf) clamp to a finite sentinel at the
+    front boundary so the one-hot threshold contraction cannot
+    NaN-contaminate trailing windows (ADVICE r3)."""
+
+    def test_clamp_and_finite_thresholds(self):
+        from meteor_scatter_tpu.models.streaming import _sanitize_levels
+
+        on_np = np.zeros(200, np.float32)
+        on_np[50] = -np.inf
+        on_np[120] = np.inf
+        on = _sanitize_levels(jnp.asarray(on_np))
+        s = np.asarray(on)
+        assert s[50] == -1e15 and s[120] == 1e15 and np.isfinite(s).all()
+        # finite values pass through bit-unchanged
+        np.testing.assert_array_equal(np.delete(s, [50, 120]),
+                                      np.delete(on_np, [50, 120]))
+        # through the solver: thresholds stay finite everywhere — the
+        # degenerate block stays localized instead of NaN-ing its whole
+        # trailing window (and the sentinel's square stays finite in f32)
+        scfg = default_cfg()
+        _, _, thr = stream_scan(
+            scfg, stream_init(scfg), on, jnp.zeros(200, jnp.float32)
+        )
+        t = np.asarray(thr)
+        assert not np.isnan(t[scfg.avg_win :]).any()
+
+    def test_fronts_apply_sanitize(self):
+        # an all-silent capture produces NaN/-inf raw band levels; both
+        # fronts must emit only sanitized (non-±inf) over_noise
+        from meteor_scatter_tpu.config import DetectionConfig
+        from meteor_scatter_tpu.models.streaming import (
+            stream_front,
+            stream_front_headless,
+        )
+
+        cfg = DetectionConfig(
+            signal_freq=1000.0,
+            detection_db_over_noise_mean_min=1.0,
+            detection_dur_min_sec=0.5,
+        )
+        fs = 4000
+        x = jnp.zeros(fs * 4, jnp.float32)  # digital silence
+        for front in (stream_front, stream_front_headless):
+            on, _, _ = front(cfg, x, fs)
+            assert not np.isinf(np.asarray(on)).any(), front.__name__
+
+
 class TestHopVmapped:
     def test_wide_batch_equals_per_channel(self):
         """The layout it was built for: one vmapped call over C channels
@@ -182,6 +231,65 @@ class TestHopVmapped:
                     np.asarray(getattr(st_b, f))[c],
                     err_msg=f"state.{f} ch{c}",
                 )
+
+    def test_episode_overflow_flag(self):
+        """Beyond 4·cap+8 lock episodes per chunk the threshold diagnostic
+        series degrades (base thresholds substitute inside dropped lock
+        windows); the `with_diag` flag must report it (VERDICT r3 item 5),
+        mirroring the event buffers' count/overflow contract — while event
+        lists stay exact vs the scan regardless."""
+        scfg = default_cfg(cap=2, min_dur_sec=2.0)  # ep_cap = 16
+        # pathological series: a 1-block spike every 3 blocks — every spike
+        # is a track-enter/leave episode (rejected as an event by min_dur,
+        # but recorded as a lock episode)
+        bursts = [(b, b + 1, 9.0) for b in range(60, 580, 3)]
+        on, pm = make_series(600, seed=50, bursts=bursts)
+        st_h, ev_h, thr_h, diag = stream_scan_jump_batch(
+            scfg, stream_init(scfg), on, pm, with_diag=True
+        )
+        assert bool(diag["thr_degraded"]), "pathological series must overflow"
+        # events still bit-exact vs the scan (degradation is diagnostic-only)
+        st_s, ev_s, _ = stream_scan(scfg, stream_init(scfg), on, pm)
+        assert int(ev_s.count) == int(ev_h.count)
+        for f in EXACT_EV:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ev_s, f)), np.asarray(getattr(ev_h, f))
+            )
+        for f in EXACT_STATE:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_s, f)), np.asarray(getattr(st_h, f))
+            )
+
+    def test_episode_flag_clear_on_normal_series(self):
+        scfg = default_cfg()
+        on, pm = make_series(900, seed=1,
+                             bursts=[(100, 110, 8.0), (400, 420, 6.0)])
+        st_h, ev_h, thr_h, diag = stream_scan_jump_batch(
+            scfg, stream_init(scfg), on, pm, with_diag=True
+        )
+        assert not bool(diag["thr_degraded"])
+        # the 3-tuple form is unchanged for vmapped callers
+        st3, ev3, thr3 = stream_scan_jump_batch(scfg, stream_init(scfg), on, pm)
+        np.testing.assert_array_equal(np.asarray(thr_h), np.asarray(thr3))
+
+    def test_stream_process_exposes_flag(self):
+        """stream_process(impl='hop') folds thr_degraded into diags."""
+        from meteor_scatter_tpu.config import DetectionConfig
+        from meteor_scatter_tpu.models.streaming import stream_process
+
+        cfg = DetectionConfig(
+            signal_freq=1000.0,
+            detection_db_over_noise_mean_min=1.0,
+            detection_dur_min_sec=0.5,
+        )
+        fs = 4000
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(fs * 20).astype(np.float32) * 0.05
+        _, _, diags = stream_process(
+            cfg, stream_init(StreamConfig.from_config(cfg)),
+            jnp.asarray(x), fs, front="bins", impl="hop",
+        )
+        assert "thr_degraded" in diags and not bool(diags["thr_degraded"])
 
     def test_wide_batch_chunked(self):
         scfg = default_cfg()
