@@ -142,8 +142,10 @@ def _prefix_last_flat(key, val):
 
 def _kernel(
     delta_ref,
-    carry_i_ref,  # SMEM (2,): [i0 (absolute index of first main block), freeze_until_in]
-    carry_f_ref,  # SMEM (2,): [fixed_thr, thr_in (threshold carried into the chunk)]
+    carry_i_ref,  # VMEM (8, LANES) i32, lane-replicated rows: [0]=i0 (absolute
+    #               index of first main block), [1]=freeze_until_in
+    carry_f_ref,  # VMEM (8, LANES) f32, lane-replicated rows: [0]=fixed_thr,
+    #               [1]=thr_in (threshold carried into the chunk)
     thr_ref,
     sincl_ref,
     csm_ref,
@@ -162,10 +164,15 @@ def _kernel(
     whole-series call: halo=0, i0=0, freeze_in=-1, thr_in=fixed_thr."""
     R, C = delta_ref.shape
     _, _, idx = _ids((R, C))
-    i0 = carry_i_ref[0]
-    freeze_in = carry_i_ref[1]
-    fixed_thr = carry_f_ref[0]
-    thr_in = carry_f_ref[1]
+    # (1, C) row slices, every lane holding the same value — they only feed
+    # elementwise ops, so broadcasting reproduces the former SMEM scalars
+    # bit-for-bit.  VMEM instead of SMEM so `jax.vmap` of the solver lowers:
+    # the batching rule turns operands into (batch, ...) blocks, and Mosaic
+    # accepts (Squeezed(), 8, 128) VMEM blocks but not (Squeezed(), 2) SMEM.
+    i0 = carry_i_ref[0:1, :]
+    freeze_in = carry_i_ref[1:2, :]
+    fixed_thr = carry_f_ref[0:1, :]
+    thr_in = carry_f_ref[1:2, :]
     total = halo + n
     in_buf = idx < total  # halo + main (stats); excludes padding
     valid = (idx >= halo) & in_buf  # main region (solved)
@@ -246,11 +253,16 @@ def _run(delta_haloed, i0, freeze_in, fixed_thr, thr_in, halo, k_std, window,
     rows = max(_round_up(pl.cdiv(total, LANES), 8), 8)
     pad = rows * LANES - total
     d2 = jnp.pad(delta_haloed.astype(jnp.float32), (0, pad)).reshape(rows, LANES)
-    carry_i = jnp.stack(
-        [jnp.asarray(i0, jnp.int32), jnp.asarray(freeze_in, jnp.int32)]
+    # lane-replicated (8, LANES) carry rows — see _kernel's carry docstring
+    carry_i = (
+        jnp.zeros((8, LANES), jnp.int32)
+        .at[0, :].set(jnp.asarray(i0, jnp.int32))
+        .at[1, :].set(jnp.asarray(freeze_in, jnp.int32))
     )
-    carry_f = jnp.stack(
-        [jnp.asarray(fixed_thr, jnp.float32), jnp.asarray(thr_in, jnp.float32)]
+    carry_f = (
+        jnp.zeros((8, LANES), jnp.float32)
+        .at[0, :].set(jnp.asarray(fixed_thr, jnp.float32))
+        .at[1, :].set(jnp.asarray(thr_in, jnp.float32))
     )
     kernel = functools.partial(
         _kernel,
@@ -272,8 +284,8 @@ def _run(delta_haloed, i0, freeze_in, fixed_thr, thr_in, halo, k_std, window,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),

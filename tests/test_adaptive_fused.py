@@ -223,3 +223,28 @@ class TestEventsFromRunSums:
         ev_q = events_from_run_sums(s_q, c_q, ab_q, cap=16)
         ev_q_ref = events_from_mask(ab_q, jnp.asarray(quiet), cap=16)
         assert int(ev_q.count) == int(ev_q_ref.count)
+
+
+class TestVmappedBatch:
+    def test_vmap_equals_per_channel(self):
+        """bench.py --multi vmaps the fused solver over channels; the
+        batching rule turns the carry operands into (batch, ...) blocks, so
+        they must live in VMEM with Mosaic-tileable (8, 128) shapes — the
+        former (2,) SMEM carries lowered under vmap to (Squeezed(), 2) SMEM
+        blocks Mosaic rejects (found by the first full-surface bench
+        capture, 2026-08-21).  Pin vmap == per-channel here."""
+        import jax
+
+        C = 4
+        ds = np.stack([series(2000, 30 + c) for c in range(C)])
+        thr_b, ab_b, s_b, c_b = jax.vmap(
+            lambda d: adaptive_solver_fused(d, interpret=True, **KW)
+        )(jnp.asarray(ds))
+        for c in range(C):
+            thr, ab, s_incl, csm = adaptive_solver_fused(
+                jnp.asarray(ds[c]), interpret=True, **KW
+            )
+            np.testing.assert_array_equal(np.asarray(ab_b)[c], np.asarray(ab))
+            np.testing.assert_array_equal(np.asarray(thr_b)[c], np.asarray(thr))
+            np.testing.assert_array_equal(np.asarray(s_b)[c], np.asarray(s_incl))
+            np.testing.assert_array_equal(np.asarray(c_b)[c], np.asarray(csm))

@@ -144,6 +144,30 @@ class TestHopEqualsScan:
         )
 
 
+class TestResolveAuto:
+    """resolve_stream_auto picks by backend and batch width: CPU keeps the
+    reference formulation; TPU picks hop for single/few streams and the
+    fused kernel for wide station batches (n_channels >= 8)."""
+
+    def test_cpu_defaults(self, monkeypatch):
+        import meteor_scatter_tpu.models.streaming as S
+
+        monkeypatch.setattr(S.jax, "default_backend", lambda: "cpu")
+        assert S.resolve_stream_auto("auto", "auto") == ("welch", "scan")
+        assert S.resolve_stream_auto("auto", "auto", n_channels=64) == ("welch", "scan")
+
+    def test_tpu_by_batch_width(self, monkeypatch):
+        import meteor_scatter_tpu.models.streaming as S
+
+        monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu")
+        assert S.resolve_stream_auto("auto", "auto") == ("bins", "hop")
+        assert S.resolve_stream_auto("auto", "auto", n_channels=7) == ("bins", "hop")
+        assert S.resolve_stream_auto("auto", "auto", n_channels=8) == ("bins", "fused")
+        assert S.resolve_stream_auto("auto", "auto", n_channels=64) == ("bins", "fused")
+        # explicit selections always pass through untouched
+        assert S.resolve_stream_auto("welch", "scan", n_channels=64) == ("welch", "scan")
+
+
 class TestSanitizeLevels:
     """±inf over-noise levels (digital-silence dB: band_sum_db of a silent
     signal band is 10·log10(0) = -inf) clamp to a finite sentinel at the
