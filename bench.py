@@ -175,16 +175,19 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
     M, slices = band_projection_matrix(FS, N_FFT, BLOCK, [FREQ_BAND, NOISE_BAND])
     Mj = jnp.asarray(M)
     x_np = np.stack([synth_audio(seconds, seed=10 + c) for c in range(n_channels)])
+    nb = x_np.shape[1] // BLOCK
 
     # In-graph fori chaining (see tpu_pipeline): host-loop chaining pays the
     # tunnel dispatch latency per call, which can exceed device time 5-10x.
+    # Input uploaded PRE-BLOCKED (C, n_blocks, BLOCK): the in-graph reshape
+    # of a flat (C, S) capture is a full TPU tiled-layout relayout
+    # (models/streaming.py::_blocked).
     @jax.jit
     def runk(x, Mj, k):
         def body(_, carry):
             _, t = carry
             eps = jnp.where(jnp.isnan(t), jnp.float32(1.0), jnp.float32(0.0))
-            frames = frame_signal(x, BLOCK, BLOCK)
-            band, noise = band_power_db(frames, Mj + eps, slices)
+            band, noise = band_power_db(x, Mj + eps, slices)
             delta = band - noise
             _, above, s_incl, csm = jax.vmap(
                 lambda d: adaptive_solver_fused(
@@ -198,7 +201,7 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
 
         return jax.lax.fori_loop(0, k, body, (jnp.asarray(0, jnp.int32), jnp.float32(0.0)))
 
-    x = jnp.asarray(x_np)
+    x = jnp.asarray(x_np[:, : nb * BLOCK].reshape(n_channels, nb, BLOCK))
     int(np.asarray(runk(x, Mj, 1)[0]))
 
     def timed(k):
@@ -274,15 +277,14 @@ def stations_pipeline(
     (`stream_scan_fused_batch`): channels ride the VPU lanes of one kernel,
     so the whole batch pays a single sequential pass.  Measured on-chip
     (tools/stations_bench.py, 2026-08-21, 64 ch × 600 s, identical event
-    lists): fused 29.7 ms / 5.18 G agg samples/s vs vmapped scan 30.7 ms /
-    5.00 G — the raw kernel is ~15x the scan core (4.1 ms vs 61-68 ms at
-    64 ch × 3000 blocks, measured against the pre-scatter-free-compaction
-    scan), and end-to-end both are now dominated by the shared bins front +
-    base-threshold prologue + compaction epilogue (see TODO.md).  Earlier
+    lists, block-operator front + pre-blocked upload): fused 2.72 ms /
+    56.5 G agg samples/s vs vmapped scan 2.82 ms / 54.5 G.  Earlier
     crossover notes (2026-08-19: scan 1.62 G vs jump 1.43 G agg samples/s
     at 64 ch, because lockstep vmapped while_loops wait for the worst
     channel) are superseded; jump/hop still win for single-stream latency
-    (tools/streaming_bench.py).
+    (tools/streaming_bench.py).  The front-cost history (28 ms -> 2.5 ms:
+    tiny-M batched GEMMs, the block-operator factor, the (C, S) relayout,
+    the x+eps harness artifact) is recorded in TODO.md and CLAUDE.md.
 
     ``gate=True`` (the default) first runs the vmapped scan AND the chosen
     solver once on the same workload and requires identical event lists
@@ -340,19 +342,45 @@ def stations_pipeline(
     # in-graph chained timing (see tpu_pipeline): k state-carried executions
     # inside one dispatch — host-loop chaining pays the tunnel dispatch
     # latency per call (measured ~90 ms/call for this state pytree on a slow
-    # day, 5x the ~107 ms device time of the whole 64-station pipeline)
+    # day, 5x the device time of the whole 64-station pipeline).  The chain
+    # dependency threads through the TINY projection matrix, not the input:
+    # `x + eps` forced a full re-materialization of the 614 MB input every
+    # iteration — a measured 2.2 ms/iter harness artifact
+    # (tools/stations_breakdown.py S5−S4), pure timing-loop cost the real
+    # pipeline never pays.  The inlined front is the same computation as
+    # stream_front_headless (reshape + welch_band_sums_db + sanitize).
+    from meteor_scatter_tpu.models.streaming import (
+        _headless_projection,
+        _sanitize_levels,
+    )
+    from meteor_scatter_tpu.ops.welch import block_band_sums_db
+
+    block = int(round(cfg.proc_block_sec * fs))
+    n_blocks_ch = int(fs * seconds) // block
+    nperseg = min(cfg.welch_nperseg, block)
+    P, slices, nseg = _headless_projection(
+        fs, cfg.n_fft, nperseg,
+        (cfg.signal_band, cfg.noise_band_1, cfg.noise_band_2),
+        block,
+    )
+    Pj = jnp.asarray(P)
+
     @jax.jit
-    def runk(x, st, k):
+    def runk(x, Pp, st, k):
         def body(_, s):
             eps = jnp.where(jnp.isnan(s.tr_sum[0]), jnp.float32(1.0), jnp.float32(0.0))
-            on, pm, _ = stream_front_headless(cfg, x + eps, fs)
-            s2, _, _ = batch_solve(s, on, pm)
+            ms, n1, n2 = block_band_sums_db(x, Pp + eps, slices, nseg)
+            on = _sanitize_levels(ms - (n1 + n2) / 2.0)
+            s2, _, _ = batch_solve(s, on, jnp.zeros_like(on))
             return s2
 
         return jax.lax.fori_loop(0, k, body, st)
 
     st0 = stream_init_batch(scfg, n_stations)
-    x = jnp.asarray(x_np)  # hoisted: the host->device upload must not be timed
+    # hoisted host->device upload, PRE-BLOCKED (..., n_blocks, block): a
+    # flat (C, S) capture forces a full in-graph relayout on TPU, measured
+    # ~13 ms per chunk — see models/streaming.py::_blocked
+    x = jnp.asarray(x_np.reshape(n_stations, n_blocks_ch, block))
     st, ev = run(x, st0)
     counts = np.asarray(ev.count)  # correctness pass: events found per station
 
@@ -378,11 +406,11 @@ def stations_pipeline(
                 f"stations gate: impl={impl} event lists differ from scan"
             )
 
-    int(np.asarray(runk(x, st0, 1).block_idx[0]))
+    int(np.asarray(runk(x, Pj, st0, 1).block_idx[0]))
 
     def timed(k):
         t0 = time.perf_counter()
-        sK = runk(x, st0, k)
+        sK = runk(x, Pj, st0, k)
         np.asarray(sK.block_idx)
         return time.perf_counter() - t0
 

@@ -50,8 +50,8 @@ import functools
 from meteor_scatter_tpu.config import DetectionConfig
 from meteor_scatter_tpu.ops.welch import (
     band_sum_db,
-    welch_band_matrix,
-    welch_band_sums_db,
+    block_band_matrix,
+    block_band_sums_db,
     welch_freqs,
     welch_psd,
 )
@@ -358,6 +358,26 @@ def _ring_base_thresholds(ring, i0, on, w: int, k_std, dtype):
     return jnp.where(cnt > 0, m + k_std * std, jnp.nan), ext
 
 
+def _blocked(samples: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Shape audio as ``(..., n_blocks, block)``.
+
+    A batched capture entering jit as ``(C, S)`` carries TPU's (8, 128)
+    tiled layout on (C, S); the in-graph reshape to ``(..., n_blocks,
+    block)`` is then a full relayout of the whole capture — measured
+    13 ms per 64 ch × 600 s chunk, i.e. ~20x the front GEMM it feeds
+    (tools/stations_breakdown.py, 2026-08-21).  Arrays uploaded already
+    shaped ``(..., n_blocks, block)`` (ndim ≥ 3; a host-side numpy
+    reshape is free) keep a layout where the in-graph flatten for the
+    GEMM is a no-op, so throughput callers should pre-block.
+    """
+    if samples.ndim >= 3 and samples.shape[-1] == block:
+        return samples
+    n_blocks = samples.shape[-1] // block
+    return samples[..., : n_blocks * block].reshape(
+        samples.shape[:-1] + (n_blocks, block)
+    )
+
+
 def _sanitize_levels(on: jnp.ndarray) -> jnp.ndarray:
     """Clamp ±inf over-noise levels (digital-silence / saturated-capture dB)
     to a large finite sentinel at the front/solver boundary.  The one-hot
@@ -382,12 +402,13 @@ def stream_front(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
 
     Returns (over_noise, psd_db_mean, front_diags) with per-block series of
     shape ``samples.shape[:-1] + (n_blocks,)``.
+
+    Accepts audio either flat (``(..., S)``) or **pre-blocked**
+    (``(..., n_blocks, block)``, ndim ≥ 3) — see :func:`_blocked` for why
+    pre-blocking matters on TPU.
     """
     block = int(round(cfg.proc_block_sec * fs))
-    n_blocks = samples.shape[-1] // block
-    x = samples[..., : n_blocks * block].reshape(
-        samples.shape[:-1] + (n_blocks, block)
-    )
+    x = _blocked(samples, block)
 
     psd = welch_psd(x, fs, cfg.n_fft, nperseg=cfg.welch_nperseg)
     psd_db = 10.0 * jnp.log10(psd)
@@ -409,14 +430,27 @@ def stream_front(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
 
 
 @functools.lru_cache(maxsize=8)
-def _headless_projection(fs: float, nfft: int, nperseg: int, bands):
-    return welch_band_matrix(fs, nfft, nperseg, bands)
+def _headless_projection(fs: float, nfft: int, nperseg: int, bands, block: int):
+    # whole-block eigen-compressed quadratic form (prolate rank ~2·B·T_block
+    # per band, see block_band_matrix): the bins front was measured 100%
+    # matmul/framing-bound at 64 stations (tools/stations_breakdown.py
+    # 2026-08-21 — front 28.1 ms of the 28-30 ms pipeline with the framed
+    # 618-column projection).  Folding framing + segment mean into one
+    # (block, ~170) factor makes the front a single contiguous GEMM and
+    # moves band sums by ≲1e-9 dB — three orders below the f32 rounding the
+    # bins front already carries.
+    return block_band_matrix(fs, nfft, nperseg, block, bands)
 
 
 def stream_front_headless(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
     """Bins-only front half: the three Welch band levels via one MXU matmul
-    on the raw segments (:func:`welch_band_matrix`) instead of zero-padded
-    nfft-point PSDs whose other ~2000 bins detection never reads.
+    on the raw blocks (:func:`block_band_matrix` — framing, window, DFT
+    selection, and segment mean all folded into one eigen-compressed
+    per-block factor) instead of zero-padded nfft-point PSDs whose other
+    ~2000 bins detection never reads.
+
+    Accepts audio flat (``(..., S)``) or pre-blocked (``(..., n_blocks,
+    block)``, ndim ≥ 3 — the TPU-throughput form, see :func:`_blocked`).
 
     Event decisions depend only on ``over_noise``; ``psd_db_mean`` feeds
     nothing but the visualization auto-gain (`processor.py:448-454`), so
@@ -428,16 +462,14 @@ def stream_front_headless(cfg: DetectionConfig, samples: jnp.ndarray, fs: float)
     (``stream_process(..., front="bins")`` / ``apps/live.py --headless``).
     """
     block = int(round(cfg.proc_block_sec * fs))
-    n_blocks = samples.shape[-1] // block
-    x = samples[..., : n_blocks * block].reshape(
-        samples.shape[:-1] + (n_blocks, block)
-    )
+    x = _blocked(samples, block)
     nperseg = min(cfg.welch_nperseg, block)
-    P, slices = _headless_projection(
+    P, slices, nseg = _headless_projection(
         fs, cfg.n_fft, nperseg,
         (cfg.signal_band, cfg.noise_band_1, cfg.noise_band_2),
+        block,
     )
-    ms_db, n1_db, n2_db = welch_band_sums_db(x, nperseg, jnp.asarray(P), slices)
+    ms_db, n1_db, n2_db = block_band_sums_db(x, jnp.asarray(P), slices, nseg)
     over_noise = _sanitize_levels(ms_db - (n1_db + n2_db) / 2.0)
     psd_db_mean = jnp.zeros_like(over_noise)
     diags = {"ms_db": ms_db, "noise1_db": n1_db, "noise2_db": n2_db}
@@ -928,12 +960,12 @@ def resolve_stream_auto(front: str, impl: str, n_channels: int = 1) -> Tuple[str
     station batches (``n_channels >= 8``) the fused Pallas
     streaming-machine kernel (``fused``, `ops/pallas/stream_kernel.py`):
     channels ride the VPU lanes of one kernel, so the batch pays a single
-    sequential pass — raw kernel ~15x over the scan core, end-to-end
-    fused 5.18 G vs scan 5.00 G agg samples/s at 64 ch × 600 s with the
-    shared front/prologue/epilogue now dominating both
-    (tools/stations_bench.py, 2026-08-21; the scan previously beat
-    jump/hop in this regime because lockstep vmapped while_loops wait for
-    the worst channel).  Event lists are identical on every fixture, golden
+    sequential pass — end-to-end fused 2.72 ms / 56.5 G vs scan 2.82 ms /
+    54.5 G agg samples/s at 64 ch × 600 s (tools/stations_bench.py,
+    2026-08-21, with the block-operator front and pre-blocked input; the
+    scan previously beat jump/hop in this regime because lockstep vmapped
+    while_loops wait for the worst channel).  Event lists are identical
+    on every fixture, golden
     parity 3/3, the decision-flip risk is bounded in PARITY.md (accept
     margins sit orders of magnitude above the formulation deltas; boundary
     comparisons and lock windows are shared/integer-exact), and fused is

@@ -190,3 +190,62 @@ class TestSpectrogram:
         np.testing.assert_allclose(f, f_ref, atol=1e-9)
         np.testing.assert_allclose(t, t_ref, atol=1e-9)
         np.testing.assert_allclose(np.asarray(s), s_ref, rtol=3e-4, atol=1e-11)
+
+
+class TestBandMatrixCompression:
+    def test_compressed_band_sums_match_full(self):
+        """Eigen-compressed projection (prolate rank ~2BT per band) must
+        reproduce every band sum to far below f32 rounding while cutting
+        the matmul width severalfold (the bins front was measured 100%
+        matmul-bound at 64 stations; tools/stations_breakdown.py)."""
+        from meteor_scatter_tpu.ops.welch import welch_band_matrix
+
+        fs, nfft, nperseg = 4000, 4096, 256
+        bands = ((950.0, 1050.0), (650.0, 750.0), (1250.0, 1350.0))
+        P0, s0 = welch_band_matrix(fs, nfft, nperseg, bands)
+        P1, s1 = welch_band_matrix(fs, nfft, nperseg, bands, compress_rtol=1e-10)
+        assert P1.shape[1] * 4 < P0.shape[1], (P0.shape, P1.shape)
+        rng = np.random.default_rng(3)
+        seg = rng.standard_normal((512, nperseg))
+        for (a0, b0), (a1, b1) in zip(s0, s1):
+            full = ((seg @ P0[:, a0:b0].astype(np.float64)) ** 2).sum(-1)
+            comp = ((seg @ P1[:, a1:b1].astype(np.float64)) ** 2).sum(-1)
+            np.testing.assert_allclose(comp, full, rtol=1e-5)
+
+    def test_empty_band_kept(self):
+        from meteor_scatter_tpu.ops.welch import welch_band_matrix
+
+        P, slices = welch_band_matrix(
+            4000, 4096, 256, ((950.0, 1050.0), (1999.5, 1999.6)),
+            compress_rtol=1e-10,
+        )
+        assert slices[1][0] == slices[1][1]  # empty band -> empty slice
+
+    def test_block_band_matrix_matches_welch(self):
+        """The whole-block quadratic-form factor (framing + window + DFT
+        selection + segment mean folded into one eigen-compressed GEMM)
+        must reproduce band_sum_db(welch_psd(...)) per block."""
+        import jax.numpy as jnp
+        from meteor_scatter_tpu.ops.welch import (
+            band_sum_db,
+            block_band_matrix,
+            block_band_sums_db,
+            welch_freqs,
+            welch_psd,
+        )
+
+        fs, nfft, nperseg, block = 4000, 4096, 256, 800
+        bands = ((950.0, 1050.0), (650.0, 750.0), (1250.0, 1350.0))
+        P, slices, nseg = block_band_matrix(fs, nfft, nperseg, block, bands)
+        assert nseg == 5 and P.shape[0] == block
+        assert P.shape[1] < 3 * 130, P.shape  # rank ~112 per band, not 5*206
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((40, block)).astype(np.float32)
+        got = block_band_sums_db(jnp.asarray(x), jnp.asarray(P), slices, nseg)
+        psd = welch_psd(jnp.asarray(x), fs, nfft, nperseg=nperseg)
+        freqs = welch_freqs(fs, nfft)
+        for g, band in zip(got, bands):
+            want = band_sum_db(psd, freqs, band)
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(want), rtol=0, atol=5e-4,
+            )

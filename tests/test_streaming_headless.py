@@ -77,3 +77,31 @@ class TestHeadlessFront:
         st = stream_init(StreamConfig.from_config(CFG))
         with pytest.raises(ValueError):
             stream_process(CFG, st, jnp.zeros(4000), 4000, front="fft")
+
+
+def test_preblocked_input_equals_flat():
+    """(..., n_blocks, block) pre-blocked audio (the TPU-throughput form,
+    see models/streaming.py::_blocked) must produce bit-identical band
+    series to the flat (..., S) form in both fronts."""
+    import jax.numpy as jnp
+    from meteor_scatter_tpu.config import DetectionConfig
+    from meteor_scatter_tpu.models.streaming import (
+        stream_front,
+        stream_front_headless,
+    )
+
+    fs = 4000
+    cfg = DetectionConfig(
+        signal_freq=1000.0,
+        detection_db_over_noise_mean_min=1.0,
+        detection_dur_min_sec=0.5,
+    )
+    block = int(round(cfg.proc_block_sec * fs))
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((3, 40 * block)).astype(np.float32)
+    x3 = x.reshape(3, 40, block)
+    for front in (stream_front_headless, stream_front):
+        on_f, pm_f, _ = front(cfg, jnp.asarray(x), fs)
+        on_b, pm_b, _ = front(cfg, jnp.asarray(x3), fs)
+        np.testing.assert_array_equal(np.asarray(on_f), np.asarray(on_b))
+        np.testing.assert_array_equal(np.asarray(pm_f), np.asarray(pm_b))

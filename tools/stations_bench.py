@@ -42,6 +42,8 @@ def main(argv=None) -> int:
     from meteor_scatter_tpu.config import DetectionConfig
     from meteor_scatter_tpu.models.streaming import (
         StreamConfig,
+        _headless_projection,
+        _sanitize_levels,
         stream_front_headless,
         stream_init_batch,
         stream_scan,
@@ -49,6 +51,7 @@ def main(argv=None) -> int:
         stream_scan_jump,
         stream_scan_jump_batch,
     )
+    from meteor_scatter_tpu.ops.welch import block_band_sums_db
 
     solvers = {
         "scan": stream_scan,
@@ -74,7 +77,10 @@ def main(argv=None) -> int:
         s0 = 20.0 + (7.0 * c) % max(args.seconds - 30.0, 1.0)
         m = (t >= s0) & (t < s0 + 1.0)
         x_np[c, m] += 1.5 * np.sin(2 * np.pi * 1000.0 * t[m]).astype(np.float32)
-    x = jnp.asarray(x_np)
+    # pre-blocked upload (..., n_blocks, block): a flat (C, S) capture pays
+    # a ~13 ms in-graph relayout per chunk on TPU (models/streaming.py::_blocked)
+    blk = int(round(cfg.proc_block_sec * fs))
+    x = jnp.asarray(x_np.reshape(args.stations, n // blk, blk))
     print(
         f"# backend={jax.default_backend()} stations={args.stations} "
         f"samples/ch={n:,}",
@@ -98,14 +104,29 @@ def main(argv=None) -> int:
             st2, ev, _ = batch_solve(st, on, pm)
             return st2, ev
 
+        # chain dependency threads through the tiny projection matrix — the
+        # former `xj + eps` re-materialized the whole input every chained
+        # iteration (measured 2.2 ms/iter artifact,
+        # tools/stations_breakdown.py S5−S4)
+        block = int(round(cfg.proc_block_sec * fs))
+        n_blocks_ch = n // block
+        nperseg = min(cfg.welch_nperseg, block)
+        P, slices, nseg = _headless_projection(
+            fs, cfg.n_fft, nperseg,
+            (cfg.signal_band, cfg.noise_band_1, cfg.noise_band_2),
+            block,
+        )
+        Pj = jnp.asarray(P)
+
         @jax.jit
-        def runk(xj, st, k, batch_solve=batch_solve):
+        def runk(xj, Pp, st, k, batch_solve=batch_solve):
             def body(_, s):
                 eps = jnp.where(
                     jnp.isnan(s.tr_sum[0]), jnp.float32(1.0), jnp.float32(0.0)
                 )
-                on, pm, _ = stream_front_headless(cfg, xj + eps, fs)
-                s2, _, _ = batch_solve(s, on, pm)
+                ms, n1, n2 = block_band_sums_db(xj, Pp + eps, slices, nseg)
+                on = _sanitize_levels(ms - (n1 + n2) / 2.0)
+                s2, _, _ = batch_solve(s, on, jnp.zeros_like(on))
                 return s2
 
             return jax.lax.fori_loop(0, k, body, st)
@@ -132,11 +153,11 @@ def main(argv=None) -> int:
                 print(f"{impl}: EVENT MISMATCH — timing skipped")
                 continue
 
-        int(np.asarray(runk(x, st0, 1).block_idx[0]))  # compile + warm
+        int(np.asarray(runk(x, Pj, st0, 1).block_idx[0]))  # compile + warm
 
-        def chained(k, runk=runk, st0=st0):
+        def chained(k, runk=runk, st0=st0, Pj=Pj):
             t0 = time.perf_counter()
-            sK = runk(x, st0, k)
+            sK = runk(x, Pj, st0, k)
             np.asarray(sK.block_idx)
             return time.perf_counter() - t0
 

@@ -58,7 +58,7 @@ def main(argv=None) -> int:
         stream_scan_fused_batch,
     )
     from meteor_scatter_tpu.ops.pallas.stream_kernel import stream_machine_fused
-    from meteor_scatter_tpu.ops.welch import welch_band_sums_db
+    from meteor_scatter_tpu.ops.welch import block_band_sums_db
 
     fs = 4000
     cfg = DetectionConfig(
@@ -72,9 +72,10 @@ def main(argv=None) -> int:
     n = int(fs * args.seconds)
     n_blocks = n // block
     nperseg = min(cfg.welch_nperseg, block)
-    P, slices = _headless_projection(
+    P, slices, nseg = _headless_projection(
         fs, cfg.n_fft, nperseg,
         (cfg.signal_band, cfg.noise_band_1, cfg.noise_band_2),
+        block,
     )
     Pj = jnp.asarray(P)
     w = scfg.avg_win
@@ -89,14 +90,15 @@ def main(argv=None) -> int:
         s0 = 20.0 + (7.0 * c) % max(args.seconds - 30.0, 1.0)
         m = (t >= s0) & (t < s0 + 1.0)
         x_np[c, m] += 1.5 * np.sin(2 * np.pi * 1000.0 * t[m]).astype(np.float32)
-    x = jnp.asarray(x_np)
+    # pre-blocked upload — a flat (C, S) capture pays a ~13 ms in-graph
+    # relayout per chunk on TPU (models/streaming.py::_blocked)
+    x = jnp.asarray(x_np.reshape(C, n_blocks, block))
     st0 = stream_init_batch(scfg, C)
     print(f"# backend={jax.default_backend()} C={C} n_blocks={n_blocks} "
           f"nperseg={nperseg} w={w}", file=sys.stderr)
 
     def front(xj, Pp):
-        x3 = xj[..., : n_blocks * block].reshape(C, n_blocks, block)
-        ms, n1, n2 = welch_band_sums_db(x3, nperseg, Pp, slices)
+        ms, n1, n2 = block_band_sums_db(xj, Pp, slices, nseg)
         return _sanitize_levels(ms - (n1 + n2) / 2.0)
 
     def prologue(st, on):
@@ -126,31 +128,34 @@ def main(argv=None) -> int:
         return ys, cf1
 
     # every stage body returns a scalar the next iteration's eps derives
-    # from, so XLA can neither hoist nor reorder chained iterations
-    def s1_body(eps):
-        return front(x, Pj + eps).sum()
+    # from, so XLA can neither hoist nor reorder chained iterations.
+    # x/Pj/st0 are jit ARGUMENTS, never closed over — the remote compiler
+    # rejects jaxprs with the 614 MB input embedded as a constant (HTTP
+    # 413) and handles large baked-in literals pathologically anyway.
+    def s1_body(xj, Pp, st, eps):
+        return front(xj, Pp + eps).sum()
 
-    def s2_body(eps):
-        on = front(x, Pj + eps)
-        bt, ext = prologue(st0, on)
+    def s2_body(xj, Pp, st, eps):
+        on = front(xj, Pp + eps)
+        bt, ext = prologue(st, on)
         return bt.sum()
 
-    def s3_body(eps):
-        on = front(x, Pj + eps)
-        bt, ext = prologue(st0, on)
-        ys, cf1 = kernel(st0, on, bt)
+    def s3_body(xj, Pp, st, eps):
+        on = front(xj, Pp + eps)
+        bt, ext = prologue(st, on)
+        ys, cf1 = kernel(st, on, bt)
         return ys[0].sum() + cf1.sum()
 
-    def s4_body(eps):
-        on = front(x, Pj + eps)
+    def s4_body(xj, Pp, st, eps):
+        on = front(xj, Pp + eps)
         pm = jnp.zeros_like(on)
-        st2, ev, thr = stream_scan_fused_batch(scfg, st0, on, pm)
+        st2, ev, thr = stream_scan_fused_batch(scfg, st, on, pm)
         return thr.sum() + st2.tr_sum.sum() + ev.count.sum().astype(jnp.float32)
 
-    def s5_body(eps):
-        on = front(x + eps, Pj)  # bench methodology: dep through the 614 MB input
+    def s5_body(xj, Pp, st, eps):
+        on = front(xj + eps, Pp)  # bench methodology: dep through the 614 MB input
         pm = jnp.zeros_like(on)
-        st2, ev, thr = stream_scan_fused_batch(scfg, st0, on, pm)
+        st2, ev, thr = stream_scan_fused_batch(scfg, st, on, pm)
         return thr.sum() + st2.tr_sum.sum() + ev.count.sum().astype(jnp.float32)
 
     bodies = {"S1": s1_body, "S2": s2_body, "S3": s3_body,
@@ -160,18 +165,18 @@ def main(argv=None) -> int:
         body = bodies[name]
 
         @jax.jit
-        def runk(k, body=body):
+        def runk(xj, Pp, st, k, body=body):
             def it(_, carry):
                 eps = jnp.where(jnp.isnan(carry), jnp.float32(1.0), jnp.float32(0.0))
-                return body(eps)
+                return body(xj, Pp, st, eps)
 
             return jax.lax.fori_loop(0, k, it, jnp.float32(0.0))
 
-        float(np.asarray(runk(1)))  # compile + warm
+        float(np.asarray(runk(x, Pj, st0, 1)))  # compile + warm
 
         def timed(k, runk=runk):
             t0 = time.perf_counter()
-            out = runk(k)
+            out = runk(x, Pj, st0, k)
             np.asarray(out)
             return time.perf_counter() - t0
 
