@@ -398,7 +398,7 @@ def sharded_fir_filter(
 def sharded_stream_process(
     cfg,  # DetectionConfig
     state,  # StreamState with per-channel leaves, or None to initialize
-    x: jnp.ndarray,  # (C, S)
+    x: jnp.ndarray,  # (C, S) flat, or (C, n_blocks, block) pre-blocked
     fs: float,
     mesh: Mesh,
     front: str = "auto",
@@ -458,16 +458,32 @@ def sharded_stream_process(
     )
     from meteor_scatter_tpu.ops.welch import welch_freqs
 
-    n_ch, S = x.shape
-    front, impl = resolve_stream_auto(front, impl, n_channels=n_ch)
-    scfg = StreamConfig.from_config(cfg)
     block = int(round(cfg.proc_block_sec * fs))
     n_time = mesh.shape[TIME_AXIS]
-    if S % n_time or (S // n_time) % block:
-        raise ValueError(
-            f"samples per time shard ({S}/{n_time}) must be a whole number "
-            f"of {block}-sample blocks"
-        )
+    preblocked = x.ndim == 3
+    if preblocked:
+        # (C, n_blocks, block) — the TPU-throughput form (see
+        # models/streaming.py::_blocked: a flat capture pays a full
+        # tiled-layout relayout in-graph); the time axis shards blocks.
+        n_ch, B = x.shape[:2]
+        if x.shape[-1] != block:
+            raise ValueError(
+                f"pre-blocked input must have trailing dim {block}, "
+                f"got {x.shape[-1]}"
+            )
+        if B % n_time:
+            raise ValueError(
+                f"blocks per time shard ({B}/{n_time}) must be whole"
+            )
+    else:
+        n_ch, S = x.shape
+        if S % n_time or (S // n_time) % block:
+            raise ValueError(
+                f"samples per time shard ({S}/{n_time}) must be a whole "
+                f"number of {block}-sample blocks"
+            )
+    front, impl = resolve_stream_auto(front, impl, n_channels=n_ch)
+    scfg = StreamConfig.from_config(cfg)
     if state is None:
         state = stream_init_batch(scfg, n_ch)
 
@@ -512,10 +528,14 @@ def sharded_stream_process(
     )
     if not headless:
         out_specs = out_specs + (P(STATION_AXIS, TIME_AXIS, None),)  # psd waterfall
+    x_spec = (
+        P(STATION_AXIS, TIME_AXIS, None) if preblocked
+        else P(STATION_AXIS, TIME_AXIS)
+    )
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(STATION_AXIS, TIME_AXIS), P(STATION_AXIS)),
+        in_specs=(x_spec, P(STATION_AXIS)),
         out_specs=out_specs,
         # the gathered block series is identical on every time shard, so
         # state/events/thresholds are time-replicated by construction; the

@@ -339,6 +339,41 @@ class TestShardedStreaming:
                 want.append((c, float(ev_u.time_start[k]), float(ev_u.time_stop[k])))
         assert sorted(got) == sorted(want) and len(want) >= 1
 
+    def test_preblocked_equals_flat(self, mesh):
+        # (C, n_blocks, block) pre-blocked input (the TPU-throughput form,
+        # models/streaming.py::_blocked) shards blocks over the time axis
+        # and must be bit-identical to the flat (C, S) form
+        from meteor_scatter_tpu.parallel.sharded import sharded_stream_process
+
+        fs, dur = 4000, 64.0
+        cfg = self._cfg()
+        x = self._audio(fs, dur, seed=14)
+        block = int(round(cfg.proc_block_sec * fs))
+        x3 = x.reshape(2, -1, block)
+        outs = []
+        for xin in (jnp.asarray(x), jnp.asarray(x3)):
+            st, ev, dg = sharded_stream_process(
+                cfg, None, xin, fs, mesh, front="bins", impl="fused"
+            )
+            outs.append((st, ev, dg))
+        (st_f, ev_f, dg_f), (st_b, ev_b, dg_b) = outs
+        assert int(np.asarray(ev_f.count).sum()) >= 1
+        for name, a, b in zip(
+            ev_f._fields,
+            jax.tree_util.tree_leaves(ev_f),
+            jax.tree_util.tree_leaves(ev_b),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+        for name, a, b in zip(
+            st_f._fields,
+            jax.tree_util.tree_leaves(st_f),
+            jax.tree_util.tree_leaves(st_b),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(dg_f["over_noise"]), np.asarray(dg_b["over_noise"])
+        )
+
     def test_rejects_misaligned_shards(self, mesh):
         from meteor_scatter_tpu.parallel.sharded import sharded_stream_process
 
