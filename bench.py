@@ -281,8 +281,8 @@ def stations_pipeline(
     56.5 G agg samples/s vs vmapped scan 2.82 ms / 54.5 G.  Earlier
     crossover notes (2026-08-19: scan 1.62 G vs jump 1.43 G agg samples/s
     at 64 ch, because lockstep vmapped while_loops wait for the worst
-    channel) are superseded; jump/hop still win for single-stream latency
-    (tools/streaming_bench.py).  The front-cost history (28 ms -> 2.5 ms:
+    channel) are superseded; fused also wins at C=1 (0.34 ms/h vs hop's
+    0.80, tools/streaming_bench.py).  The front-cost history (28 ms -> 2.5 ms:
     tiny-M batched GEMMs, the block-operator factor, the (C, S) relayout,
     the x+eps harness artifact) is recorded in TODO.md and CLAUDE.md.
 

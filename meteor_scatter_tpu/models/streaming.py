@@ -953,30 +953,31 @@ def resolve_stream_auto(front: str, impl: str, n_channels: int = 1) -> Tuple[str
     """Resolve ``front``/``impl`` ``"auto"`` selections (VERDICT r2 item 3,
     mirroring ``detect_adaptive(impl="auto")``).
 
-    On TPU the fast path is the default: the bins-only matmul front plus —
-    for single/few streams — the windowed episode-jump solver (``hop``,
-    measured 6.6 ms per hour of audio vs the reference-formulation
-    welch:scan's 123 ms, tools/streaming_bench.py 2026-08-20), and for wide
-    station batches (``n_channels >= 8``) the fused Pallas
-    streaming-machine kernel (``fused``, `ops/pallas/stream_kernel.py`):
-    channels ride the VPU lanes of one kernel, so the batch pays a single
-    sequential pass — end-to-end fused 2.72 ms / 56.5 G vs scan 2.82 ms /
-    54.5 G agg samples/s at 64 ch × 600 s (tools/stations_bench.py,
-    2026-08-21, with the block-operator front and pre-blocked input; the
-    scan previously beat jump/hop in this regime because lockstep vmapped
-    while_loops wait for the worst channel).  Event lists are identical
-    on every fixture, golden
-    parity 3/3, the decision-flip risk is bounded in PARITY.md (accept
-    margins sit orders of magnitude above the formulation deltas; boundary
-    comparisons and lock windows are shared/integer-exact), and fused is
-    additionally bit-exact vs the vmapped scan
-    (tests/test_streaming_fused.py).  On CPU the reference formulation
-    stays the default: the fast paths' advantage is TPU-specific and the
-    welch front is what the oracles pin bit-exactly.
+    On TPU the fast path is the default: the bins-only block-operator
+    matmul front plus the fused Pallas streaming-machine kernel
+    (``fused``, `ops/pallas/stream_kernel.py`) at EVERY batch width —
+    measured 2026-08-21 (identical event lists, tools/streaming_bench.py /
+    tools/stations_bench.py):
 
-    ``n_channels`` is the batch width the caller will run the solver at
-    (leading vmap/shard axis); callers resolving for a single series can
-    omit it.
+    * single stream, 1 h of 4 kHz audio: welch:scan 117.5 ms, bins:scan
+      57.1, bins:jump 0.96, bins:hop 0.80, **bins:fused 0.34 ms
+      (~10.7 M× realtime)** — fused wins even at C=1, so the earlier
+      width-dependent hop/fused split is retired;
+    * 64 stations × 600 s: fused 2.72 ms / 56.5 G agg samples/s vs
+      vmapped scan 2.82 ms / 54.5 G.
+
+    Event lists are identical on every fixture, golden parity 3/3, the
+    decision-flip risk is bounded in PARITY.md (accept margins sit orders
+    of magnitude above the formulation deltas; boundary comparisons and
+    lock windows are shared/integer-exact), and fused is additionally
+    **bit-exact vs the vmapped scan** (tests/test_streaming_fused.py) — a
+    stronger contract than jump/hop's f32-noise one.  On CPU the
+    reference formulation stays the default: the fast paths' advantage is
+    TPU-specific and the welch front is what the oracles pin bit-exactly.
+
+    ``n_channels`` (the batch width the caller will run at) is kept for
+    callers that pass it, but no longer affects the choice — the C=1
+    measurement above made the width distinction moot.
 
     Callers that need the PSD waterfall (live UI, spec export) must pass
     ``front="welch"`` explicitly — the bins front computes only the three
@@ -986,10 +987,7 @@ def resolve_stream_auto(front: str, impl: str, n_channels: int = 1) -> Tuple[str
     if front == "auto":
         front = "bins" if on_tpu else "welch"
     if impl == "auto":
-        if on_tpu:
-            impl = "fused" if n_channels >= 8 else "hop"
-        else:
-            impl = "scan"
+        impl = "fused" if on_tpu else "scan"
     return front, impl
 
 
@@ -1017,11 +1015,12 @@ def stream_process(
     stream_step scan is pinned in tests.
 
     ``front``/``impl`` default to ``"auto"`` (:func:`resolve_stream_auto`):
-    the bins front + windowed episode-jump solver on TPU, the
+    the bins front + fused Pallas streaming-machine kernel on TPU, the
     reference-formulation welch:scan on CPU.  ``impl="jump"``/``"hop"``
     select the episode-jump solvers explicitly — bit-exact event
     boundaries and thresholds, dB statistics to f32 reduction order; see
-    their docstrings and PARITY.md for the tie-risk accounting.
+    their docstrings and PARITY.md for the tie-risk accounting
+    (``fused`` is bit-exact vs the scan outright).
     """
     front, impl = resolve_stream_auto(front, impl)
     scfg = StreamConfig.from_config(cfg)

@@ -145,9 +145,10 @@ class TestHopEqualsScan:
 
 
 class TestResolveAuto:
-    """resolve_stream_auto picks by backend and batch width: CPU keeps the
-    reference formulation; TPU picks hop for single/few streams and the
-    fused kernel for wide station batches (n_channels >= 8)."""
+    """resolve_stream_auto picks by backend: CPU keeps the reference
+    formulation; TPU picks the fused kernel at every batch width (fused
+    measured fastest even at C=1 — 0.34 ms/h vs hop's 0.80,
+    tools/streaming_bench.py 2026-08-21)."""
 
     def test_cpu_defaults(self, monkeypatch):
         import meteor_scatter_tpu.models.streaming as S
@@ -156,16 +157,16 @@ class TestResolveAuto:
         assert S.resolve_stream_auto("auto", "auto") == ("welch", "scan")
         assert S.resolve_stream_auto("auto", "auto", n_channels=64) == ("welch", "scan")
 
-    def test_tpu_by_batch_width(self, monkeypatch):
+    def test_tpu_defaults(self, monkeypatch):
         import meteor_scatter_tpu.models.streaming as S
 
         monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu")
-        assert S.resolve_stream_auto("auto", "auto") == ("bins", "hop")
-        assert S.resolve_stream_auto("auto", "auto", n_channels=7) == ("bins", "hop")
-        assert S.resolve_stream_auto("auto", "auto", n_channels=8) == ("bins", "fused")
+        assert S.resolve_stream_auto("auto", "auto") == ("bins", "fused")
+        assert S.resolve_stream_auto("auto", "auto", n_channels=7) == ("bins", "fused")
         assert S.resolve_stream_auto("auto", "auto", n_channels=64) == ("bins", "fused")
         # explicit selections always pass through untouched
         assert S.resolve_stream_auto("welch", "scan", n_channels=64) == ("welch", "scan")
+        assert S.resolve_stream_auto("bins", "hop") == ("bins", "hop")
 
 
 class TestSanitizeLevels:
