@@ -533,7 +533,7 @@ def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
         StreamConfig,
         stream_front_headless,
         stream_init_batch,
-        stream_scan_jump_batch,
+        stream_scan_fused_batch,
     )
     from meteor_scatter_tpu.ops.fir import channelize_iq
 
@@ -553,15 +553,16 @@ def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
     )
     scfg = StreamConfig.from_config(cfg)
 
+    # fused batch solver (the TPU auto default; batch-native, so no vmapped
+    # lockstep while_loop — at 50-block chunks the hop solver's per-episode
+    # iterations dominated the whole chain)
     @jax.jit
     def run(xr, xi, st):
         audio, _ = channelize_iq(
             xr, xi, fs, centers, bandwidth=1500.0, decim=decim, numtaps=2001
         )
         on, pm, _ = stream_front_headless(cfg, audio, audio_rate)
-        st2, ev, _ = jax.vmap(
-            lambda s, o, p: stream_scan_jump_batch(scfg, s, o, p)
-        )(st, on, pm)
+        st2, ev, _ = stream_scan_fused_batch(scfg, st, on, pm)
         return st2, ev.count
 
     # in-graph chained timing, state-carried (see stations_pipeline)
@@ -573,9 +574,7 @@ def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
                 xr + eps, xi, fs, centers, bandwidth=1500.0, decim=decim, numtaps=2001
             )
             on, pm, _ = stream_front_headless(cfg, audio, audio_rate)
-            s2, _, _ = jax.vmap(
-                lambda sc, o, p: stream_scan_jump_batch(scfg, sc, o, p)
-            )(s, on, pm)
+            s2, _, _ = stream_scan_fused_batch(scfg, s, on, pm)
             return s2
 
         return jax.lax.fori_loop(0, k, body, st)
