@@ -210,11 +210,15 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
         np.asarray(out[0])
         return time.perf_counter() - t0
 
-    t1 = min(timed(1) for _ in range(2))
-    tk = min(timed(6) for _ in range(2))
-    dt = (tk - t1) / 5.0
+    # chain long enough that per-exec time >> dispatch noise: at k=6 the
+    # (tk-t1)/5 estimator swung the recorded rate severalfold between runs
+    # for sub-ms pipelines (BENCHMARKS.md 2026-08-21 multi8 266G vs 490G —
+    # the latter implies >HBM-bandwidth, i.e. pure estimator noise)
+    t1 = min(timed(1) for _ in range(3))
+    tk = min(timed(21) for _ in range(3))
+    dt = (tk - t1) / 20.0
     if dt <= 0:
-        dt = tk / 6.0
+        dt = tk / 21.0
     return x_np.size / dt
 
 
@@ -414,11 +418,15 @@ def stations_pipeline(
         np.asarray(sK.block_idx)
         return time.perf_counter() - t0
 
-    t1 = min(timed(1) for _ in range(2))
-    tk = min(timed(6) for _ in range(2))
-    dt = (tk - t1) / 5.0
+    # chain long enough that per-exec time >> dispatch noise: at k=6 the
+    # (tk-t1)/5 estimator swung the recorded rate severalfold between runs
+    # for sub-ms pipelines (BENCHMARKS.md 2026-08-21 multi8 266G vs 490G —
+    # the latter implies >HBM-bandwidth, i.e. pure estimator noise)
+    t1 = min(timed(1) for _ in range(3))
+    tk = min(timed(21) for _ in range(3))
+    dt = (tk - t1) / 20.0
     if dt <= 0:
-        dt = tk / 6.0
+        dt = tk / 21.0
     return x_np.size / dt, gate_info
 
 
@@ -464,11 +472,15 @@ def image_pipeline(n_segments: int = 8, seconds: float = 30.0, fs: int = 5000) -
         np.asarray(out[0])
         return time.perf_counter() - t0
 
-    t1 = min(timed(1) for _ in range(2))
-    tk = min(timed(6) for _ in range(2))
-    dt = (tk - t1) / 5.0
+    # chain long enough that per-exec time >> dispatch noise: at k=6 the
+    # (tk-t1)/5 estimator swung the recorded rate severalfold between runs
+    # for sub-ms pipelines (BENCHMARKS.md 2026-08-21 multi8 266G vs 490G —
+    # the latter implies >HBM-bandwidth, i.e. pure estimator noise)
+    t1 = min(timed(1) for _ in range(3))
+    tk = min(timed(21) for _ in range(3))
+    dt = (tk - t1) / 20.0
     if dt <= 0:
-        dt = tk / 6.0
+        dt = tk / 21.0
     return x_np.size / dt
 
 
@@ -506,11 +518,11 @@ def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
         np.asarray(out)
         return time.perf_counter() - t0
 
-    t1 = min(timed(1) for _ in range(2))
-    tk = min(timed(6) for _ in range(2))
-    dt = (tk - t1) / 5.0
+    t1 = min(timed(1) for _ in range(3))
+    tk = min(timed(51) for _ in range(3))
+    dt = (tk - t1) / 50.0
     if dt <= 0:
-        dt = tk / 6.0
+        dt = tk / 51.0
     return n / dt
 
 
@@ -592,11 +604,11 @@ def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
         np.asarray(sK.block_idx)
         return time.perf_counter() - t0
 
-    t1 = min(timed(1) for _ in range(2))
-    tk = min(timed(6) for _ in range(2))
-    dt = (tk - t1) / 5.0
+    t1 = min(timed(1) for _ in range(3))
+    tk = min(timed(11) for _ in range(3))
+    dt = (tk - t1) / 10.0
     if dt <= 0:
-        dt = tk / 6.0
+        dt = tk / 11.0
     return x_re.size / dt
 
 

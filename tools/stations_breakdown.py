@@ -12,10 +12,11 @@ stage at a time, with the same in-graph fori-chained methodology:
   S4  + compaction epilogue + final-ring extraction (= full
         stream_scan_fused_batch, what bench.py --stations times)
   S5  S4 but threading the chain dependency through ``x + eps`` instead of
-      the tiny projection matrix — the exact bench.py/stations_bench
-      methodology, so S5 − S4 is the *harness artifact*: each chained
-      iteration re-materializes the 614 MB input, which is timing-harness
-      cost, not pipeline cost.
+      the tiny projection matrix — the methodology bench.py/stations_bench
+      used *before* round 4, so S5 − S4 is the retired harness's artifact:
+      each chained iteration re-materialized the 614 MB input, pure
+      timing-loop cost the pipeline never pays (measured 2.0-2.5 ms; both
+      harnesses now thread eps through the projection matrix).
 
 Stage deltas attribute the floor; the printed table is the measured basis
 for deciding whether fusing the bins matmul INTO the stream kernel is
