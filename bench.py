@@ -91,7 +91,6 @@ def tpu_pipeline(x_np: np.ndarray):
 
     from meteor_scatter_tpu.models.events import events_from_run_sums
     from meteor_scatter_tpu.ops.bandpower import band_projection_matrix, band_power_db
-    from meteor_scatter_tpu.ops.framing import frame_signal
     from meteor_scatter_tpu.ops.pallas.adaptive_kernel import adaptive_solver_fused
 
     M, slices = band_projection_matrix(FS, N_FFT, BLOCK, [FREQ_BAND, NOISE_BAND])
@@ -110,13 +109,17 @@ def tpu_pipeline(x_np: np.ndarray):
     # dispatch latency, which on this backend can exceed the device time
     # itself by an order of magnitude (host-loop chaining measured 2 ms
     # "per execution" on a day the tunnel was slow, vs 0.23 ms r01).
+    #
+    # Input uploaded PRE-BLOCKED (n_blocks, BLOCK): the in-graph 1-D ->
+    # framed reshape is a TPU tiled-layout relayout measured at 0.12 ms of
+    # the ~0.19 ms projection (models/streaming.py::_blocked; the host
+    # reshape is free and hop == block, so framing IS that reshape).
     @jax.jit
     def runk(x, Mj, k):
         def body(_, carry):
             _, t = carry
             eps = jnp.where(jnp.isnan(t), jnp.float32(1.0), jnp.float32(0.0))
-            frames = frame_signal(x, BLOCK, BLOCK)
-            band, noise = band_power_db(frames, Mj + eps, slices)
+            band, noise = band_power_db(x, Mj + eps, slices)
             delta = band - noise
             thr, above, s_incl, csm = adaptive_solver_fused(
                 delta, K_STD, WINDOW_BLOCKS, FREEZE_BEFORE, FREEZE_AFTER, FIXED_INIT
@@ -128,7 +131,8 @@ def tpu_pipeline(x_np: np.ndarray):
             0, k, body, (jnp.asarray(0, jnp.int32), jnp.float32(0.0))
         )
 
-    x = jnp.asarray(x_np)
+    nb = len(x_np) // BLOCK
+    x = jnp.asarray(x_np[: nb * BLOCK].reshape(nb, BLOCK))
     # warm-up / compile (block_until_ready is unreliable on the tunneled
     # backend, so force a host readback)
     int(np.asarray(runk(x, Mj, 1)[0]))
@@ -169,7 +173,6 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
 
     from meteor_scatter_tpu.models.events import events_from_run_sums
     from meteor_scatter_tpu.ops.bandpower import band_projection_matrix, band_power_db
-    from meteor_scatter_tpu.ops.framing import frame_signal
     from meteor_scatter_tpu.ops.pallas.adaptive_kernel import adaptive_solver_fused
 
     M, slices = band_projection_matrix(FS, N_FFT, BLOCK, [FREQ_BAND, NOISE_BAND])
