@@ -144,7 +144,11 @@ def tpu_pipeline(x_np: np.ndarray):
         return time.perf_counter() - t0
 
     reps = 3
-    k = 21
+    # chain long enough that the chained body (k x ~0.12 ms) dominates the
+    # +-5-10 ms dispatch-noise spread of a bad tunnel moment — at k=21 a
+    # noisy run produced min(t1) > min(tk) and the fallback recorded a
+    # garbage headline (BENCHMARKS.md keeps it, flagged noise_bound)
+    k = 201
     # keep every rep (not just the min): the per-rep spread is the artifact's
     # own tunnel/host-load indicator (VERDICT r3 item 3) — a wide spread
     # marks a noisy day, a tight spread with a changed per-exec time marks a
@@ -154,7 +158,8 @@ def tpu_pipeline(x_np: np.ndarray):
     t1 = min(t1s)
     tk = min(tks)
     dt = (tk - t1) / (k - 1)
-    if dt <= 0:
+    noise_bound = dt <= 0
+    if noise_bound:
         print("# warning: chained timing noise-bound; reporting the "
               "round-trip-inclusive upper bound", file=sys.stderr)
         dt = tk / k
@@ -163,6 +168,8 @@ def tpu_pipeline(x_np: np.ndarray):
         "tk_ms": [round(v * 1e3, 3) for v in tks],
         "chain_k": k,
     }
+    if noise_bound:
+        diag["noise_bound"] = True
     return len(x_np) / dt, dt, diag
 
 
@@ -218,10 +225,10 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
     # for sub-ms pipelines (BENCHMARKS.md 2026-08-21 multi8 266G vs 490G —
     # the latter implies >HBM-bandwidth, i.e. pure estimator noise)
     t1 = min(timed(1) for _ in range(3))
-    tk = min(timed(21) for _ in range(3))
-    dt = (tk - t1) / 20.0
+    tk = min(timed(101) for _ in range(3))
+    dt = (tk - t1) / 100.0
     if dt <= 0:
-        dt = tk / 21.0
+        dt = tk / 101.0
     return x_np.size / dt
 
 
@@ -426,10 +433,10 @@ def stations_pipeline(
     # for sub-ms pipelines (BENCHMARKS.md 2026-08-21 multi8 266G vs 490G —
     # the latter implies >HBM-bandwidth, i.e. pure estimator noise)
     t1 = min(timed(1) for _ in range(3))
-    tk = min(timed(21) for _ in range(3))
-    dt = (tk - t1) / 20.0
+    tk = min(timed(101) for _ in range(3))
+    dt = (tk - t1) / 100.0
     if dt <= 0:
-        dt = tk / 21.0
+        dt = tk / 101.0
     return x_np.size / dt, gate_info
 
 
@@ -480,10 +487,10 @@ def image_pipeline(n_segments: int = 8, seconds: float = 30.0, fs: int = 5000) -
     # for sub-ms pipelines (BENCHMARKS.md 2026-08-21 multi8 266G vs 490G —
     # the latter implies >HBM-bandwidth, i.e. pure estimator noise)
     t1 = min(timed(1) for _ in range(3))
-    tk = min(timed(21) for _ in range(3))
-    dt = (tk - t1) / 20.0
+    tk = min(timed(101) for _ in range(3))
+    dt = (tk - t1) / 100.0
     if dt <= 0:
-        dt = tk / 21.0
+        dt = tk / 101.0
     return x_np.size / dt
 
 
@@ -522,10 +529,10 @@ def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
         return time.perf_counter() - t0
 
     t1 = min(timed(1) for _ in range(3))
-    tk = min(timed(51) for _ in range(3))
-    dt = (tk - t1) / 50.0
+    tk = min(timed(201) for _ in range(3))
+    dt = (tk - t1) / 200.0
     if dt <= 0:
-        dt = tk / 51.0
+        dt = tk / 201.0
     return n / dt
 
 
