@@ -31,8 +31,10 @@ def main(argv=None) -> int:
     p.add_argument("--stations", type=int, default=64)
     p.add_argument("--seconds", type=float, default=600.0)
     p.add_argument("--impls", default="scan,jump,hop")
-    p.add_argument("--reps", type=int, default=2)
-    p.add_argument("--chain", type=int, default=6)
+    # chain sized so per-exec device time (~2.5-8 ms) x chain dominates the
+    # +-5-10 ms dispatch noise (see BASELINE.md on reading chained timings)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--chain", type=int, default=21)
     args = p.parse_args(argv)
 
     import jax
