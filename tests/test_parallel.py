@@ -339,10 +339,13 @@ class TestShardedStreaming:
                 want.append((c, float(ev_u.time_start[k]), float(ev_u.time_stop[k])))
         assert sorted(got) == sorted(want) and len(want) >= 1
 
-    def test_preblocked_equals_flat(self, mesh):
+    @pytest.mark.parametrize("front,impl", [("bins", "fused"), ("welch", "scan")])
+    def test_preblocked_equals_flat(self, mesh, front, impl):
         # (C, n_blocks, block) pre-blocked input (the TPU-throughput form,
         # models/streaming.py::_blocked) shards blocks over the time axis
-        # and must be bit-identical to the flat (C, S) form
+        # and must be bit-identical to the flat (C, S) form — for the fast
+        # path AND the welch/waterfall path (whose psd output spec must
+        # hold for 3-D input too)
         from meteor_scatter_tpu.parallel.sharded import sharded_stream_process
 
         fs, dur = 4000, 64.0
@@ -353,7 +356,7 @@ class TestShardedStreaming:
         outs = []
         for xin in (jnp.asarray(x), jnp.asarray(x3)):
             st, ev, dg = sharded_stream_process(
-                cfg, None, xin, fs, mesh, front="bins", impl="fused"
+                cfg, None, xin, fs, mesh, front=front, impl=impl
             )
             outs.append((st, ev, dg))
         (st_f, ev_f, dg_f), (st_b, ev_b, dg_b) = outs
