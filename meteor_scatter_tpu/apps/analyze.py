@@ -152,9 +152,16 @@ def proc_wav_file(
     expected_sample_rate: Optional[int] = 6000,
     max_events: int = 4096,
     verbose: bool = True,
+    impl: str = "auto",
 ) -> AnalyzeResult:
     """Same signature family as the reference ``proc_wav_file``
-    (`main.py:207-229`), including the n_fft doubling (`main.py:353`)."""
+    (`main.py:207-229`), including the n_fft doubling (`main.py:353`).
+
+    ``impl`` selects the adaptive solver (:func:`detect_adaptive`):
+    "parallel" (XLA fixpoint), "fused" (Pallas kernel — the TPU auto
+    default), or "auto".  Exposed so the golden harness can validate the
+    *shipping default* directly against the reference (VERDICT r4 item 3),
+    not just transitively through solver-equality tests."""
     timer = PhaseTimer(log=False)
 
     with timer.phase("read_wav"):
@@ -190,6 +197,7 @@ def proc_wav_file(
                 threshold_freeze_after_detection_sec,
                 threshold_fixed_init_duration_sec,
                 cap=max_events,
+                impl=impl,
             )
         else:
             events, thr = detect_fixed(delta, threshold_std_factor, cap=max_events)

@@ -390,9 +390,19 @@ def _sanitize_levels(on: jnp.ndarray) -> jnp.ndarray:
     The sentinel is 1e15, not f32-max: the rolling-variance sums square the
     levels, and the square must itself stay finite in f32 (1e30 < 3.4e38)
     or the ±inf would just reappear one op later.  Physical dB levels are
-    O(±100), so the clamp can never touch a real signal."""
+    O(±100), so the clamp can never touch a real signal.
+
+    NaN is mapped to the negative sentinel too (``jnp.clip`` alone would
+    pass it through): a NaN here can only come from degenerate arithmetic
+    on non-finite levels, and once inside a solver it spreads through the
+    0·NaN terms of the one-hot contractions to windows that never saw the
+    bad block — breaking the chunked==unchunked bit-equality contract
+    (ADVICE r4).  Callers must also sanitize the three band levels
+    *individually* before the band subtraction (silence then becomes
+    ``sentinel - sentinel = 0`` instead of ``-inf - (-inf) = NaN``) rather
+    than only the difference."""
     big = jnp.asarray(1e15, on.dtype)
-    return jnp.clip(on, -big, big)
+    return jnp.clip(jnp.nan_to_num(on, nan=-big), -big, big)
 
 
 def stream_front(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
@@ -414,10 +424,10 @@ def stream_front(cfg: DetectionConfig, samples: jnp.ndarray, fs: float):
     psd_db = 10.0 * jnp.log10(psd)
     freqs = welch_freqs(fs, cfg.n_fft)
 
-    ms_db = band_sum_db(psd, freqs, cfg.signal_band)
-    n1_db = band_sum_db(psd, freqs, cfg.noise_band_1)
-    n2_db = band_sum_db(psd, freqs, cfg.noise_band_2)
-    over_noise = _sanitize_levels(ms_db - (n1_db + n2_db) / 2.0)
+    ms_db = _sanitize_levels(band_sum_db(psd, freqs, cfg.signal_band))
+    n1_db = _sanitize_levels(band_sum_db(psd, freqs, cfg.noise_band_1))
+    n2_db = _sanitize_levels(band_sum_db(psd, freqs, cfg.noise_band_2))
+    over_noise = ms_db - (n1_db + n2_db) / 2.0
     psd_db_mean = jnp.mean(psd_db, axis=-1)
     diags = {
         "ms_db": ms_db,
@@ -469,8 +479,11 @@ def stream_front_headless(cfg: DetectionConfig, samples: jnp.ndarray, fs: float)
         (cfg.signal_band, cfg.noise_band_1, cfg.noise_band_2),
         block,
     )
-    ms_db, n1_db, n2_db = block_band_sums_db(x, jnp.asarray(P), slices, nseg)
-    over_noise = _sanitize_levels(ms_db - (n1_db + n2_db) / 2.0)
+    ms_db, n1_db, n2_db = (
+        _sanitize_levels(v)
+        for v in block_band_sums_db(x, jnp.asarray(P), slices, nseg)
+    )
+    over_noise = ms_db - (n1_db + n2_db) / 2.0
     psd_db_mean = jnp.zeros_like(over_noise)
     diags = {"ms_db": ms_db, "noise1_db": n1_db, "noise2_db": n2_db}
     return over_noise, psd_db_mean, diags

@@ -174,6 +174,49 @@ class TestChannelizer:
         assert np.array_equal(np.asarray(re_r), np.asarray(re_q))
         assert np.array_equal(np.asarray(im_r), np.asarray(im_q))
 
+    def test_preframed_equals_flat_real(self):
+        # channelize_frames(frame_capture_host(x)) must be bit-identical to
+        # channelize(x): the pre-framed path exists purely so the device
+        # never pays the flat->framed relayout (VERDICT r4 task 1)
+        from meteor_scatter_tpu.ops.fir import (
+            channel_bank_plan,
+            channelize_frames,
+            frame_capture_host,
+        )
+
+        fs, n, bw, q, T = 48_000, 12_000, 400.0, 8, 97
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(n).astype(np.float32)
+        freqs = np.array([1000, 7777])
+        re_f, im_f = channelize(jnp.asarray(x), fs, freqs, bandwidth=bw, decim=q, numtaps=T)
+        plan, tables = channel_bank_plan(n, fs, freqs, bandwidth=bw, decim=q, numtaps=T)
+        f = jnp.asarray(frame_capture_host(x, plan))
+        re_p, im_p = channelize_frames(f, tables, plan)
+        assert np.array_equal(np.asarray(re_f), np.asarray(re_p))
+        assert np.array_equal(np.asarray(im_f), np.asarray(im_p))
+
+    def test_preframed_equals_flat_iq(self):
+        from meteor_scatter_tpu.ops.fir import (
+            channel_bank_plan,
+            channelize_iq,
+            channelize_iq_frames,
+            frame_capture_host,
+        )
+
+        fs, n, bw, q, T = 48_000, 12_000, 400.0, 8, 97
+        rng = np.random.default_rng(10)
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        freqs = np.array([-7777, 1000])
+        re_f, im_f = channelize_iq(
+            jnp.asarray(xr), jnp.asarray(xi), fs, freqs, bandwidth=bw, decim=q, numtaps=T
+        )
+        plan, tables = channel_bank_plan(n, fs, freqs, bandwidth=bw, decim=q, numtaps=T)
+        f = jnp.asarray(frame_capture_host(np.stack([xr, xi]), plan))
+        re_p, im_p = channelize_iq_frames(f, tables, plan)
+        assert np.array_equal(np.asarray(re_f), np.asarray(re_p))
+        assert np.array_equal(np.asarray(im_f), np.asarray(im_p))
+
     def test_polyphase_decimate_asymmetric_taps_convolve(self):
         # convolution (not correlation) semantics for non-symmetric taps,
         # consistent between q==1 and q>1

@@ -215,7 +215,59 @@ class TestSanitizeLevels:
         x = jnp.zeros(fs * 4, jnp.float32)  # digital silence
         for front in (stream_front, stream_front_headless):
             on, _, _ = front(cfg, x, fs)
-            assert not np.isinf(np.asarray(on)).any(), front.__name__
+            # isfinite (not merely "no inf"): all-silent blocks used to emit
+            # -inf - (-inf) = NaN over_noise, which clip passed through
+            # (ADVICE r4) — silence must read as exactly 0 dB over noise
+            on = np.asarray(on)
+            assert np.isfinite(on).all(), front.__name__
+            assert np.all(on == 0.0), front.__name__
+
+    def test_silent_block_stays_local_across_chunks(self):
+        """A single silent block must not NaN thresholds of later windows
+        through the chunk-boundary ring (ADVICE r4: a NaN entering the
+        one-hot contraction in _ring_base_thresholds spread to a window NOT
+        containing the silent block, breaking chunked==unchunked)."""
+        from meteor_scatter_tpu.config import DetectionConfig
+        from meteor_scatter_tpu.models.streaming import (
+            StreamConfig,
+            stream_front,
+            stream_init,
+            stream_scan,
+        )
+
+        cfg = DetectionConfig(
+            signal_freq=1000.0,
+            detection_db_over_noise_mean_min=1.0,
+            detection_dur_min_sec=0.5,
+        )
+        fs = 4000
+        block = int(round(cfg.proc_block_sec * fs))
+        rng = np.random.default_rng(7)
+        x = rng.normal(0, 0.05, fs * 60).astype(np.float32)
+        # silence exactly one block early in the capture
+        x[40 * block : 41 * block] = 0.0
+
+        on, pm, _ = stream_front(cfg, jnp.asarray(x), fs)
+        assert np.isfinite(np.asarray(on)).all()
+
+        scfg = StreamConfig.from_config(cfg)
+        _, _, thr_u = stream_scan(scfg, stream_init(scfg), on, pm)
+        # chunked run: 3 x 100-block chunks threading the carried state
+        st = stream_init(scfg)
+        thr_parts = []
+        for lo in range(0, 300, 100):
+            st, _, thr_c = stream_scan(
+                scfg, st, on[lo : lo + 100], pm[lo : lo + 100]
+            )
+            thr_parts.append(np.asarray(thr_c))
+        thr_chunked = np.concatenate(thr_parts)
+        thr_u = np.asarray(thr_u)
+        # NaN inside the first avg_win blocks is the documented stats
+        # warm-up (variance over <2 samples), same as the unchunked run;
+        # what the ADVICE-r4 bug produced was NaN *after* warm-up in
+        # windows near (but not containing) the silent block.
+        assert np.isfinite(thr_chunked[scfg.avg_win :]).all()
+        assert np.array_equal(thr_u, thr_chunked, equal_nan=True)
 
 
 class TestHopVmapped:

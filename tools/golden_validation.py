@@ -120,9 +120,17 @@ def run_batch(ref_path: str, wav_path: str):
 
     from meteor_scatter_tpu.apps.analyze import proc_wav_file as ours_fn
 
-    res = ours_fn(wav_path, verbose=False)
-    ours = [(round(d.t_start, 2), round(d.t_stop, 2), round(d.dB, 2)) for d in res.detections]
-    return ref, ours
+    def run_ours(impl):
+        # impl="parallel" is the CPU auto default; impl="fused" runs the
+        # Pallas adaptive kernel in interpret mode — the TPU shipping
+        # default, golden-compared directly per VERDICT r4 item 3
+        res = ours_fn(wav_path, verbose=False, impl=impl)
+        return [
+            (round(d.t_start, 2), round(d.t_stop, 2), round(d.dB, 2))
+            for d in res.detections
+        ]
+
+    return ref, run_ours("parallel"), run_ours("fused")
 
 
 def run_stream(ref_path: str, wav_path: str):
@@ -166,7 +174,7 @@ def run_stream(ref_path: str, wav_path: str):
             )
         return [(round(e["time_start"], 2), round(e["time_stop"], 2)) for e in events]
 
-    return ref, run_ours("scan"), run_ours("jump"), run_ours("hop")
+    return ref, run_ours("scan"), run_ours("jump"), run_ours("hop"), run_ours("fused")
 
 
 def main() -> int:
@@ -188,20 +196,27 @@ def main() -> int:
 
     batch_wav = os.path.join(args.tmp, "golden_batch.wav")
     make_batch_wav(batch_wav)
-    ref, ours = run_batch(args.reference_path, batch_wav)
-    match = len(ref) == len(ours) and all(
-        abs(r[0] - o[0]) < 0.01 and abs(r[1] - o[1]) < 0.01 and abs(r[2] - o[2]) <= 0.02
-        for r, o in zip(ref, ours)
-    )
+    ref, ours, ours_fused = run_batch(args.reference_path, batch_wav)
+    def batch_match(o):
+        return len(ref) == len(o) and all(
+            abs(r[0] - x[0]) < 0.01 and abs(r[1] - x[1]) < 0.01 and abs(r[2] - x[2]) <= 0.02
+            for r, x in zip(ref, o)
+        )
+    match = batch_match(ours)
     print(f"BATCH: reference={len(ref)} ours={len(ours)} match={match}")
     for r, o in zip(ref, ours):
         print(f"  ref {r}  ours {o}")
     ok &= match
+    match_fused = batch_match(ours_fused)
+    print(f"BATCH (impl=fused): ours={len(ours_fused)} match={match_fused}")
+    ok &= match_fused
     per_case = [([(r[0], r[1]) for r in ref], [(o[0], o[1]) for o in ours])]
 
     stream_wav = os.path.join(args.tmp, "golden_stream.wav")
     make_stream_wav(stream_wav)
-    ref, ours, ours_jump, ours_hop = run_stream(args.reference_path, stream_wav)
+    ref, ours, ours_jump, ours_hop, ours_fused = run_stream(
+        args.reference_path, stream_wav
+    )
     per_case.append(([(r[0], r[1]) for r in ref], [(o[0], o[1]) for o in ours]))
     match = ref == ours
     print(f"STREAM: reference={len(ref)} ours={len(ours)} match={match}")
@@ -214,6 +229,9 @@ def main() -> int:
     match_hop = ref == ours_hop
     print(f"STREAM (impl=hop): ours={len(ours_hop)} match={match_hop}")
     ok &= match_hop
+    match_fused = ref == ours_fused
+    print(f"STREAM (impl=fused): ours={len(ours_fused)} match={match_fused}")
+    ok &= match_fused
 
     # detection F1 vs the reference event lists (BASELINE.json primary
     # metric).  Matching is per case (batch and stream come from unrelated
