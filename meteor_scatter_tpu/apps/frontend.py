@@ -64,6 +64,33 @@ def iq_frontend(
     centers = np.asarray(station_freqs, dtype=np.float64) - tone_freq
 
     def bank(decim):
+        host = isinstance(x, np.ndarray) and (
+            x_im is None or isinstance(x_im, np.ndarray)
+        )
+        if host:
+            # host capture: pre-frame on the host (free numpy copy) so the
+            # device never pays the flat→framed tiled-layout relayout —
+            # measured 5.1 ms per 10 s × 2 MS/s capture, 64% of the whole
+            # chain (tools/iq_breakdown.py, round 5); bit-identical to the
+            # flat path (tests/test_fir.py::test_preframed_equals_flat_*)
+            from meteor_scatter_tpu.ops.fir import (
+                channel_bank_plan,
+                channelize_frames,
+                channelize_iq_frames,
+                frame_capture_host,
+            )
+
+            plan, tables = channel_bank_plan(
+                np.shape(x)[-1], fs, centers,
+                bandwidth=channel_bandwidth, decim=decim, numtaps=numtaps,
+            )
+            if x_im is None:
+                f = jnp.asarray(frame_capture_host(x, plan))
+                re, _ = channelize_frames(f, tables, plan)
+                return 2.0 * re
+            f = jnp.asarray(frame_capture_host(np.stack([x, x_im]), plan))
+            re, _ = channelize_iq_frames(f, tables, plan)
+            return re
         if x_im is None:
             re, _ = channelize(
                 jnp.asarray(x), fs, centers,

@@ -198,7 +198,9 @@ def run_monitor(
     import jax.numpy as jnp
 
     os.makedirs(cfg.spec_out_dir, exist_ok=True)
-    ledger = HourlyLedger(cfg.csv_out_dir, save_interval_min=cfg.save_interval_min)
+    ledger = HourlyLedger(
+        cfg.csv_out_dir, save_interval_min=cfg.save_interval_min, now=now_fn()
+    )
     offsets = OffsetJournal(cfg.csv_out_dir, getattr(source, "source_id", None))
     timer = PhaseTimer(log=True)
     expected = cfg.sample_rate * cfg.segment_len_sec
@@ -252,9 +254,16 @@ def run_monitor(
                 upscale_to(colorize(db[::-1, :], vmin=float(img.vmin), vmax=40.0)),
             )
 
-        ledger.add(n_crit, n_non, now=now_fn())
+        # at-most-once accounting (VERDICT r4 item 6): the offset journals
+        # BEFORE the counts become durable, so a SIGKILL between the two
+        # loses at most this one segment's counts on resume — the reverse
+        # order would re-process the segment and double-count it.  The
+        # ledger's own sidecar journal (`io/ledger.py::_journal`) makes the
+        # add itself crash-safe; fault-injection soak test:
+        # tests/test_io_apps.py::TestCrashRecoverySoak.
         if hasattr(source, "pos"):
-            offsets.save(source.pos)  # journal after the counts are durable
+            offsets.save(source.pos)
+        ledger.add(n_crit, n_non, now=now_fn())
         n += 1
 
     print(timer.summary())
@@ -281,6 +290,16 @@ def main(argv=None) -> int:
     p.add_argument("--keypoint-mode", choices=["threshold", "corner"],
                    default="threshold",
                    help="burst keypoints: above-cut pixels or Harris corners (ORB-like)")
+    p.add_argument("--start-time", default=None,
+                   help="WAV replay only: ISO timestamp of the recording's "
+                        "start; ledger rows then follow the AUDIO timeline "
+                        "(start + consumed samples / rate) instead of the "
+                        "wall clock, so reprocessing a historical capture "
+                        "produces correctly-dated CSVs and a --resume "
+                        "restart continues the same simulated clock")
+    p.add_argument("--time-scale", type=float, default=1.0,
+                   help="with --start-time: simulated seconds per second of "
+                        "audio (accelerated-day replay / soak testing)")
     args = p.parse_args(argv)
 
     cfg = MonitorConfig(
@@ -303,7 +322,24 @@ def main(argv=None) -> int:
         source = WavSegmentSource(args.wav, cfg, realtime=args.realtime, start_pos=start)
     else:
         source = CommandSegmentSource(args.command, cfg)
-    run_monitor(source, cfg, max_segments=args.max_segments)
+
+    now_fn = datetime.now
+    if args.start_time is not None:
+        if not hasattr(source, "pos"):
+            p.error("--start-time requires a positioned (WAV replay) source")
+        from datetime import timedelta
+
+        start = datetime.fromisoformat(args.start_time)
+        scale = args.time_scale
+
+        def now_fn():
+            # derived from the consumed-sample position, so the clock is
+            # deterministic and survives --resume restarts
+            return start + timedelta(
+                seconds=(source.pos / cfg.sample_rate) * scale
+            )
+
+    run_monitor(source, cfg, max_segments=args.max_segments, now_fn=now_fn)
     return 0
 
 

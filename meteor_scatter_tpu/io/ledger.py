@@ -55,19 +55,43 @@ class HourlyLedger:
         return path
 
     def _recover(self, now: datetime) -> None:
-        """Resume in-progress hour counts after a crash."""
+        """Resume in-progress hour counts after a crash.
+
+        A journaled hour that is still open resumes in place.  A *stale*
+        journal (its hour became flush-due while the process was dead, or
+        the crash landed between "flush due" and the row append) is flushed
+        to its own day file instead of discarded — dropping it would lose a
+        whole hourly row that an uninterrupted run records (found by the
+        round-5 SIGKILL soak test).  The flush is idempotent: if the crash
+        landed *between* the row append and the journal reset, the row
+        already exists and the journal is discarded instead (hour_start
+        values are unique per flush, so a timestamp match identifies the
+        exact row)."""
         if self.journal_path and os.path.exists(self.journal_path):
             try:
                 with open(self.journal_path) as fh:
                     j = json.load(fh)
                 start = datetime.fromisoformat(j["hour_start"])
-                # only resume if the journaled hour is still open
                 if now - start < self.save_interval:
+                    # journaled hour still open: resume in place
                     self.hour_start = start
                     self.n_critical = int(j["critical"])
                     self.n_non_critical = int(j["non_critical"])
+                elif not self._row_exists(start):
+                    self.hour_start = start
+                    self.n_critical = int(j["critical"])
+                    self.n_non_critical = int(j["non_critical"])
+                    self.flush(now)  # appends the lost row, resets to now
             except (ValueError, KeyError, json.JSONDecodeError):
                 pass
+
+    def _row_exists(self, hour_start: datetime) -> bool:
+        path = self.current_file(hour_start)
+        if not os.path.exists(path):
+            return False
+        ts = hour_start.strftime("%Y-%m-%d %H:%M:%S")
+        with open(path) as fh:
+            return any(line.split(SEP, 1)[0] == ts for line in fh)
 
     def _journal(self) -> None:
         if not self.journal_path:

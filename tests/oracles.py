@@ -133,3 +133,46 @@ def oracle_streaming(
                 locked_until_block = i + (lock_tail - 1)
                 state = "detect"
     return events, np.array(thresholds)
+
+
+def oracle_dbscan(points, eps, min_samples):
+    """Clean-room DBSCAN per the published algorithm (Ester, Kriegel,
+    Sander, Xu 1996 — the semantics of sklearn's DBSCAN as invoked at
+    meteor_detect_class/detector_and_classification.py:20, eps=30,
+    min_samples=5, on ORB keypoint (x, y) pixel coordinates):
+
+    * a point is CORE iff >= min_samples points (itself included) lie
+      within L2 distance eps;
+    * clusters are grown only through core points (density-reachability):
+      BFS over core->neighbor edges;
+    * non-core points within eps of a core join the first cluster that
+      reaches them (scan order); everything else is noise (-1).
+
+    O(n^2), deliberately simple — it defines correctness for the image
+    path's count-level contract (VERDICT r4 item 4).  Returns int labels,
+    -1 for noise.
+    """
+    pts = np.asarray(points, np.float64)
+    n = len(pts)
+    labels = np.full(n, -1, np.int64)
+    if n == 0:
+        return labels
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    neigh = d2 <= eps * eps
+    core = neigh.sum(1) >= min_samples
+    cid = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        labels[i] = cid
+        frontier = [i]
+        while frontier:
+            j = frontier.pop()
+            if not core[j]:
+                continue  # border points join but do not expand
+            for k in np.nonzero(neigh[j])[0]:
+                if labels[k] == -1:
+                    labels[k] = cid
+                    frontier.append(k)
+        cid += 1
+    return labels

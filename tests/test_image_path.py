@@ -99,6 +99,136 @@ class TestClusterBursts:
         assert int(b_strict.count) >= 1
 
 
+def _unit_px_image(h, w):
+    """A SpectrogramImage whose grid pixels are exactly 1×1 reference
+    rendered pixels (hop_sec = 25/496 s, hz_per_bin = 400/365 Hz), so
+    oracle_dbscan runs on raw (col, row) coordinates with eps=30."""
+    from meteor_scatter_tpu.models.image import (
+        _REF_PX_PER_HZ,
+        _REF_PX_PER_SEC,
+        SpectrogramImage,
+    )
+
+    return SpectrogramImage(
+        db=jnp.zeros((h, w), jnp.float32),
+        vmin=jnp.asarray(1.0, jnp.float32),  # threshold keypoints: none
+        freqs=np.arange(h) / _REF_PX_PER_HZ,
+        hop_sec=1.0 / _REF_PX_PER_SEC,
+        hz_per_bin=1.0 / _REF_PX_PER_HZ,
+    )
+
+
+def _oracle_counts(mask, eps=30.0, min_samples=5, px_f=1.0, px_t=1.0,
+                   critical_px=5.0):
+    """Cluster count + critical count from the clean-room DBSCAN oracle on
+    the mask's keypoint coordinates (reference-px metric)."""
+    from oracles import oracle_dbscan
+
+    fi, ti = np.nonzero(mask)
+    pts = np.stack([ti * px_t, fi * px_f], axis=1)
+    labels = oracle_dbscan(pts, eps, min_samples)
+    n_clusters = int(labels.max()) + 1 if len(labels) else 0
+    n_crit = 0
+    for c in range(n_clusters):
+        xs = pts[labels == c, 0]
+        if xs.max() - xs.min() >= critical_px:
+            n_crit += 1
+    return n_clusters, n_crit
+
+
+class TestDbscanOracle:
+    """VERDICT r4 item 4: quantify the image path against a clean-room
+    DBSCAN oracle on (a) synthetic clouds incl. the divergence cases and
+    (b) the repo's own corner-keypoint masks from synthetic bursts."""
+
+    def _run_ours(self, mask, img, **kw):
+        b = cluster_bursts(img, keypoint_mask=jnp.asarray(mask), **kw)
+        return int(b.count), int(b.n_critical)
+
+    def test_dense_blobs_agree(self):
+        mask = np.zeros((80, 200), bool)
+        mask[10:13, 10:18] = True   # 3x8 blob, width 7 px -> critical
+        mask[50:53, 150:153] = True  # 3x3 blob, width 2 px -> non-critical
+        img = _unit_px_image(*mask.shape)
+        ours = self._run_ours(mask, img)
+        assert ours == _oracle_counts(mask) == (2, 1)
+
+    def test_sparse_bridge_no_longer_chains(self):
+        # two dense one-row blobs 60 px apart with a lone bridge point
+        # equidistant (30 px) from both edges: the bridge has only 3
+        # eps-neighbors (not core), so DBSCAN keeps TWO clusters.  The
+        # pre-round-5 box-dilation linking chained them into one — the
+        # exact divergence VERDICT r4 documented.
+        mask = np.zeros((20, 120), bool)
+        mask[10, 0:8] = True      # blob A cols 0..7
+        mask[8:13, 2:5] = True    #  ... fattened so every A point is core
+        mask[10, 37] = True       # bridge: 30 px from col 7 and col 67
+        mask[10, 67:75] = True    # blob B
+        mask[8:13, 69:72] = True
+        img = _unit_px_image(*mask.shape)
+        n_oracle, _ = _oracle_counts(mask)
+        assert n_oracle == 2
+        n_core, _ = self._run_ours(mask, img, core_gate=True)
+        assert n_core == 2  # matches DBSCAN
+        n_legacy, _ = self._run_ours(mask, img, core_gate=False)
+        assert n_legacy == 1  # the documented legacy divergence
+
+    def test_box_corner_pair_uses_l2_metric(self):
+        # nearest corners offset (28, 28): L-inf 28 <= eps -> the legacy box
+        # linking merged them; L2 = 39.6 > eps -> DBSCAN (and the round-5
+        # elliptical linking) keeps them separate.
+        mask = np.zeros((80, 80), bool)
+        mask[10:13, 10:13] = True
+        mask[40:43, 40:43] = True  # corner (12,12) -> (40,40): d=(28,28)
+        img = _unit_px_image(*mask.shape)
+        n_oracle, _ = _oracle_counts(mask)
+        assert n_oracle == 2
+        n_core, _ = self._run_ours(mask, img, core_gate=True)
+        assert n_core == 2
+        n_legacy, _ = self._run_ours(mask, img, core_gate=False)
+        assert n_legacy == 1
+
+    def test_fuzzed_clouds_count_agreement(self):
+        # random clouds across densities: cluster count and critical count
+        # must match the oracle exactly (unit-px geometry, integer coords)
+        rng = np.random.default_rng(42)
+        for trial in range(6):
+            mask = np.zeros((60, 150), bool)
+            n_pts = rng.integers(10, 60)
+            fi = rng.integers(0, 60, n_pts)
+            ti = rng.integers(0, 150, n_pts)
+            mask[fi, ti] = True
+            # a couple of dense seeds so clusters actually form
+            for _ in range(rng.integers(1, 4)):
+                r0, c0 = rng.integers(0, 55), rng.integers(0, 140)
+                mask[r0 : r0 + rng.integers(2, 5), c0 : c0 + rng.integers(2, 9)] = True
+            img = _unit_px_image(*mask.shape)
+            ours = self._run_ours(mask, img)
+            want = _oracle_counts(mask)
+            assert ours == want, f"trial {trial}: ours={ours} oracle={want}"
+
+    def test_corner_keypoint_masks_match_oracle(self):
+        # (b) the repo's own corner-keypoint masks from synthetic bursts,
+        # compared in the real (non-unit) pixel geometry
+        from meteor_scatter_tpu.models.image import _REF_PX_PER_HZ, _REF_PX_PER_SEC
+
+        for seed, bursts in [
+            (0, [(5.0, 2.0, 1000.0, 4.0), (20.0, 0.4, 1100.0, 6.0)]),
+            (1, [(10.0, 1.0, 950.0, 3.0)]),
+            (7, []),
+        ]:
+            x = segment_with_bursts(bursts, seed=seed)
+            img = spectrogram_image(jnp.asarray(x), FS)
+            kp = np.asarray(corner_keypoints(img))
+            ours = self._run_ours(kp, img)
+            want = _oracle_counts(
+                kp,
+                px_f=img.hz_per_bin * _REF_PX_PER_HZ,
+                px_t=img.hop_sec * _REF_PX_PER_SEC,
+            )
+            assert ours == want, f"seed {seed}: ours={ours} oracle={want}"
+
+
 class TestCornerKeypoints:
     def test_keypoints_concentrate_on_burst(self):
         x = segment_with_bursts([(10.0, 2.0, 1000.0, 4.0)])

@@ -108,6 +108,74 @@ def run_mesh(n_devices: int, seconds_per_device: float, window_blocks: int) -> f
     return max((tk - t1) / 5.0, 1e-9), n_samples
 
 
+def run_mesh_stations(
+    n_devices: int, seconds: float, stations_per_device: int = 8
+):
+    """Weak-scaling step time for the BASELINE config-5 streaming path
+    (VERDICT r4 item 7): ``sharded_stream_process`` with PRE-BLOCKED input
+    and per-device fused station groups — the code a pod would actually
+    run.  Stations scale with the mesh (stations_per_device per device,
+    station-axis sharding); each device walks its local group in one fused
+    Pallas pass.  Solver/front resolve via ``"auto"`` — bins front + fused
+    kernel on TPU (the pod path), the scan on CPU validation meshes (the
+    fused kernel's interpret mode is Python-per-block, ~1000× too slow to
+    time on virtual devices; sharded fused==scan is already pinned in
+    tests/test_parallel.py, so the CPU harness run validates the
+    sharding/meshing, not the solver).  Returns (seconds per step, total
+    samples per step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from meteor_scatter_tpu.config import DetectionConfig
+    from meteor_scatter_tpu.parallel.mesh import make_mesh
+    from meteor_scatter_tpu.parallel.sharded import sharded_stream_process
+
+    fs = 4000
+    cfg = DetectionConfig(
+        signal_freq=1000.0,
+        detection_db_over_noise_mean_min=1.0,
+        detection_dur_min_sec=0.5,
+    )
+    block = int(round(cfg.proc_block_sec * fs))
+    C = stations_per_device * n_devices
+    n = int(fs * seconds) // block * block
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((C, n)).astype(np.float32) * 0.3
+    t = np.arange(n) / fs
+    for c in range(C):
+        s0 = 15.0 + (5.0 * c) % max(seconds - 20.0, 1.0)
+        m = (t >= s0) & (t < s0 + 1.0)
+        x[c, m] += 1.5 * np.sin(2 * np.pi * 1000.0 * t[m]).astype(np.float32)
+    # pre-blocked upload — the TPU-throughput form (host reshape is free;
+    # the in-graph relayout is what round 4/5 measured and removed)
+    xb = jnp.asarray(x.reshape(C, n // block, block))
+
+    mesh = make_mesh(
+        n_station=n_devices, n_time=1, devices=jax.devices()[:n_devices]
+    )
+
+    def step(xj):
+        _, ev, _ = sharded_stream_process(
+            cfg, None, xj, fs, mesh, front="auto", impl="auto"
+        )
+        return ev.count.sum()
+
+    np.asarray(step(xb))  # compile + warm
+
+    def chained(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = step(xb)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    reps = 2
+    t1 = min(chained(1) for _ in range(reps))
+    tk = min(chained(6) for _ in range(reps))
+    return max((tk - t1) / 5.0, 1e-9), C * n
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--devices", type=int, nargs="+", default=None,
@@ -115,6 +183,14 @@ def main(argv=None) -> int:
     p.add_argument("--seconds-per-device", type=float, default=600.0)
     p.add_argument("--window-blocks", type=int, default=WINDOW_BLOCKS,
                    help="adaptive rolling window; must be <= blocks per shard")
+    p.add_argument("--pipeline", choices=("batch", "stations", "both"),
+                   default="batch",
+                   help="batch = time-sharded band power + adaptive detect; "
+                        "stations = station-sharded streaming machine with "
+                        "pre-blocked input + per-device fused groups")
+    p.add_argument("--stations-per-device", type=int, default=8)
+    p.add_argument("--stations-seconds", type=float, default=600.0,
+                   help="stream length per station for --pipeline stations")
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
@@ -134,26 +210,40 @@ def main(argv=None) -> int:
     total = jax.device_count()
     sizes = args.devices or [d for d in (1, 2, 4, 8, 16, 32) if d <= total]
     sizes = sorted(set(sizes))  # efficiency is defined vs the smallest mesh
-    results = []
-    t_base = None
-    for n in sizes:
-        dt, n_samples = run_mesh(n, args.seconds_per_device, args.window_blocks)
-        if t_base is None:
-            t_base = dt
-        eff = t_base / dt
-        sps = n_samples / dt
-        results.append({"devices": n, "sec_per_step": dt, "samples_per_sec": sps,
-                        "weak_scaling_efficiency": round(eff, 4)})
-        if jax.process_index() == 0:
-            print(json.dumps(results[-1]))
-    if jax.process_index() == 0 and len(results) > 1:
-        worst = min(r["weak_scaling_efficiency"] for r in results[1:])
-        print(f"# worst weak-scaling efficiency: {worst:.1%} "
-              f"(target >= 80%)", file=sys.stderr)
-        if jax.default_backend() == "cpu":
-            print("# NOTE: virtual CPU devices share physical cores — this run "
-                  "validates the harness, not scaling; measure on real chips",
-                  file=sys.stderr)
+    pipelines = (
+        ("batch", "stations") if args.pipeline == "both" else (args.pipeline,)
+    )
+    any_multi = False
+    for pipeline in pipelines:
+        results = []
+        t_base = None
+        for n in sizes:
+            if pipeline == "batch":
+                dt, n_samples = run_mesh(
+                    n, args.seconds_per_device, args.window_blocks
+                )
+            else:
+                dt, n_samples = run_mesh_stations(
+                    n, args.stations_seconds, args.stations_per_device
+                )
+            if t_base is None:
+                t_base = dt
+            eff = t_base / dt
+            sps = n_samples / dt
+            results.append({"pipeline": pipeline, "devices": n,
+                            "sec_per_step": dt, "samples_per_sec": sps,
+                            "weak_scaling_efficiency": round(eff, 4)})
+            if jax.process_index() == 0:
+                print(json.dumps(results[-1]))
+        if jax.process_index() == 0 and len(results) > 1:
+            any_multi = True
+            worst = min(r["weak_scaling_efficiency"] for r in results[1:])
+            print(f"# {pipeline}: worst weak-scaling efficiency: {worst:.1%} "
+                  f"(target >= 80%)", file=sys.stderr)
+    if jax.process_index() == 0 and any_multi and jax.default_backend() == "cpu":
+        print("# NOTE: virtual CPU devices share physical cores — this run "
+              "validates the harness, not scaling; measure on real chips",
+              file=sys.stderr)
     return 0
 
 
