@@ -106,6 +106,28 @@ def test_per_metric_noise_bound_is_skipped():
     assert not mod._metric_noise_bound(d_ok, "channelizer")
 
 
+def test_bench_and_readme_perf_roofline_tables_agree():
+    """bench.py flags implausible metrics at emit time and readme_perf.py
+    re-checks at publish time (covering legacy lines) — the two tables
+    must never drift apart or one gate silently weakens."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)  # top level imports numpy only
+    mod = _load()
+    assert bench.HBM_BYTES_PER_SEC == mod.HBM_BYTES_PER_SEC
+    assert bench.METRIC_BYTES_PER_SAMPLE == {
+        f: bps for f, (_, bps) in mod.METRIC_SPECS.items()
+    }
+    # and the emit-time gate flags the known-garbage value
+    assert bench.implausible_metrics(
+        {"multi8_samples_per_sec": 489_862_567_499}
+    ) == ["multi8_samples_per_sec"]
+
+
 def test_recency_key_driver_capture_outranks_same_date_surface():
     """ADVICE r4: BENCH_r04 (183.3 G, captured at round-4 end) must outrank
     the older BENCHMARKS.md lines it physically follows, including the

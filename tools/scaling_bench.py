@@ -54,7 +54,8 @@ def per_device_audio(seconds: float, seed: int) -> np.ndarray:
     return x
 
 
-def run_mesh(n_devices: int, seconds_per_device: float, window_blocks: int) -> float:
+def run_mesh(n_devices: int, seconds_per_device: float, window_blocks: int,
+             reps: int = 2, chain: int = 6) -> float:
     """Weak-scaling step time on an n_devices (station=1, time=n) mesh.
 
     Stations are embarrassingly parallel; the time axis is the interesting
@@ -102,14 +103,14 @@ def run_mesh(n_devices: int, seconds_per_device: float, window_blocks: int) -> f
         np.asarray(out)
         return time.perf_counter() - t0
 
-    reps = 2
     t1 = min(chained(1) for _ in range(reps))
-    tk = min(chained(6) for _ in range(reps))
-    return max((tk - t1) / 5.0, 1e-9), n_samples
+    tk = min(chained(chain) for _ in range(reps))
+    return max((tk - t1) / (chain - 1), 1e-9), n_samples
 
 
 def run_mesh_stations(
-    n_devices: int, seconds: float, stations_per_device: int = 8
+    n_devices: int, seconds: float, stations_per_device: int = 8,
+    reps: int = 2, chain: int = 6,
 ):
     """Weak-scaling step time for the BASELINE config-5 streaming path
     (VERDICT r4 item 7): ``sharded_stream_process`` with PRE-BLOCKED input
@@ -170,10 +171,9 @@ def run_mesh_stations(
         np.asarray(out)
         return time.perf_counter() - t0
 
-    reps = 2
     t1 = min(chained(1) for _ in range(reps))
-    tk = min(chained(6) for _ in range(reps))
-    return max((tk - t1) / 5.0, 1e-9), C * n
+    tk = min(chained(chain) for _ in range(reps))
+    return max((tk - t1) / (chain - 1), 1e-9), C * n
 
 
 def main(argv=None) -> int:
@@ -191,6 +191,9 @@ def main(argv=None) -> int:
     p.add_argument("--stations-per-device", type=int, default=8)
     p.add_argument("--stations-seconds", type=float, default=600.0,
                    help="stream length per station for --pipeline stations")
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--chain", type=int, default=6,
+                   help="chained steps per timing (lower for slow virtual-mesh validation runs)")
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
@@ -220,11 +223,13 @@ def main(argv=None) -> int:
         for n in sizes:
             if pipeline == "batch":
                 dt, n_samples = run_mesh(
-                    n, args.seconds_per_device, args.window_blocks
+                    n, args.seconds_per_device, args.window_blocks,
+                    reps=args.reps, chain=args.chain,
                 )
             else:
                 dt, n_samples = run_mesh_stations(
-                    n, args.stations_seconds, args.stations_per_device
+                    n, args.stations_seconds, args.stations_per_device,
+                    reps=args.reps, chain=args.chain,
                 )
             if t_base is None:
                 t_base = dt
