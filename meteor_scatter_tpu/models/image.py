@@ -142,6 +142,80 @@ def _connected_components(mask: jnp.ndarray) -> jnp.ndarray:
     return labels
 
 
+def _ellipse_spans(radius_px: float, px_f: float, px_t: float):
+    """Row decomposition of :func:`_ellipse_kernel`: for each row offset dy,
+    the half-width wx(dy) of the ellipse row (static host-side ints)."""
+    ry = int(math.floor(radius_px / px_f))
+    spans = []
+    for dy in range(-ry, ry + 1):
+        rem = radius_px * radius_px - (dy * px_f) ** 2
+        if rem < 0:
+            continue
+        spans.append((dy, int(math.floor(math.sqrt(rem) / px_t))))
+    return spans
+
+
+def _ellipse_min(lab: jnp.ndarray, spans, big: int) -> jnp.ndarray:
+    """Min over the L2 eps-ellipse neighborhood of every pixel — one exact
+    adjacency step of the DBSCAN core graph.  Decomposed by ellipse rows:
+    shift by dy, separable 1-D box min of that row's half-width, combine.
+    ~2·ry reduce_windows instead of a |ellipse|-tap stencil."""
+    h, w = lab.shape
+    ry = max(abs(dy) for dy, _ in spans)
+    padded = jnp.pad(lab, ((ry, ry), (0, 0)), constant_values=big)
+    best = jnp.full_like(lab, big)
+    for dy, wx in spans:
+        row = jax.lax.dynamic_slice_in_dim(padded, ry + dy, h, axis=0)
+        row_min = jax.lax.reduce_window(
+            row,
+            jnp.asarray(big, lab.dtype),
+            jax.lax.min,
+            window_dimensions=(1, 2 * wx + 1),
+            window_strides=(1, 1),
+            padding="SAME",
+        )
+        best = jnp.minimum(best, row_min)
+    return best
+
+
+def _cluster_core_labels(core: jnp.ndarray, spans) -> jnp.ndarray:
+    """Label the connected components of ``core`` pixels under L2
+    eps-adjacency (the DBSCAN core graph) — min-propagation like
+    :func:`_connected_components` but each round's neighborhood is the
+    *whole eps ellipse* (one exact graph step ≈ eps pixels of spatial
+    reach, vs 1 px for the 3×3 stencil), so convergence takes a handful
+    of rounds instead of O(cluster diameter).  Measured on-chip
+    (2026-08-21): the dilate-then-3×3-CC formulation spent ~26 ms/exec in
+    the while_loop on thin ellipse-dilated masks; this replaces it at a
+    few rounds of ~27 separable reduce_windows.  Returns int32 labels,
+    HW on non-core pixels."""
+    h, w = core.shape
+    hw = h * w
+    ids = jnp.arange(hw, dtype=jnp.int32).reshape(h, w)
+    big = hw
+    labels = jnp.where(core, ids, big)
+
+    def step(lab):
+        best = _ellipse_min(lab, spans, big)
+        return jnp.where(core, jnp.minimum(lab, best), big)
+
+    def jump(lab):
+        flat = jnp.concatenate([lab.reshape(-1), jnp.asarray([hw], jnp.int32)])
+        for _ in range(3):
+            flat = flat[flat]
+        return flat[:-1].reshape(h, w)
+
+    def body(state):
+        lab, _ = state
+        new = jump(step(lab))
+        return new, jnp.any(new != lab)
+
+    labels, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (labels, jnp.asarray(True))
+    )
+    return labels
+
+
 def render_intensity(img: SpectrogramImage, vmax: float = 40.0) -> jnp.ndarray:
     """The grayscale image the reference detector actually sees: dB clipped
     to [vmin, vmax] (the display window of prime_detection.py:84-85) and
@@ -249,17 +323,18 @@ def cluster_bursts(
     is **core** iff ≥ ``min_samples`` keypoints (self included) lie within
     L2 distance ``eps_px`` in the reference's rendered-pixel metric (an
     elliptical stencil in grid space — one static conv); clusters are the
-    connected components of core points under eps-adjacency (ellipse
-    dilation by eps/2 + 8-CC, sub-pixel-exact); non-core keypoints join a
-    neighboring core's cluster or are noise.  This removes both divergence
-    classes vs DBSCAN that the pre-round-5 formulation had (lone bridge
-    points chaining clusters, and L∞ box-corner linking at up to eps·√2) —
-    quantified against the clean-room oracle in
+    connected components of core points under exact L2 eps-adjacency
+    (:func:`_cluster_core_labels` — min-propagation whose per-round
+    neighborhood is the whole eps ellipse); non-core keypoints join a
+    core's cluster within exact L2 eps reach or are noise.  This removes
+    both divergence classes vs DBSCAN that the pre-round-5 formulation had
+    (lone bridge points chaining clusters, and L∞ box-corner linking at up
+    to eps·√2) — quantified against the clean-room oracle in
     ``tests/oracles.py::oracle_dbscan`` / ``tests/test_image_path.py``.
-    Remaining deliberate deviations (documented in VALIDATION.md): border
-    pixels take the *lowest* adjacent cluster id (DBSCAN: scan order) and
-    are matched in an L∞ box (both affect only bbox stats, never cluster
-    counts).
+    The single remaining deliberate deviation (documented in
+    VALIDATION.md): when several clusters reach the same border pixel it
+    takes the *lowest* cluster id (DBSCAN: scan order) — affects only
+    which bbox a shared border lands in, never cluster counts.
 
     ``core_gate=False`` keeps the round-1..4 formulation (box dilation +
     post-hoc min_samples), retained for comparison and for callers that
@@ -282,11 +357,10 @@ def cluster_bursts(
     if core_gate:
         # DBSCAN core rule, exact at pixel resolution: neighbors within an
         # L2 eps ellipse (reference-px metric), self included
+        spans = _ellipse_spans(eps_px, px_f, px_t)
         neigh = _conv_count(mask, _ellipse_kernel(eps_px, px_f, px_t))
         core = mask & (neigh >= min_samples - 0.5)
-        link_src = core
-        dilate_kern = _ellipse_kernel(eps_px / 2.0, px_f, px_t)
-        dilated = _conv_count(link_src, dilate_kern) > 0.5
+        labels = _cluster_core_labels(core, spans)
     else:
         core = mask
         dilated = jax.lax.reduce_window(
@@ -297,8 +371,7 @@ def cluster_bursts(
             window_strides=(1, 1),
             padding="SAME",
         )
-
-    labels = _connected_components(dilated)
+        labels = _connected_components(dilated)
     h, w = mask.shape
     hw = h * w
 
@@ -315,20 +388,12 @@ def cluster_bursts(
     # member pixels = original (pre-dilation) keypoints
     if core_gate:
         # border keypoints (mask & ~core) join the lowest-id cluster with a
-        # core inside their eps box; keypoints with no core within reach are
-        # DBSCAN noise.  (L∞ window — over-inclusive only in corner zones;
-        # affects bbox stats, never cluster counts.  DBSCAN assigns borders
-        # by scan order instead — same count-level result.)
-        comp2d = comp.reshape(h, w)
+        # core inside their exact L2 eps ellipse; keypoints with no core
+        # within reach are DBSCAN noise.  (DBSCAN assigns shared borders by
+        # scan order instead of lowest id — same count-level result.)
+        comp2d = comp.reshape(h, w).astype(jnp.int32)
         core_comp = jnp.where(core, comp2d, cap)
-        near = jax.lax.reduce_window(
-            core_comp,
-            jnp.asarray(cap, jnp.int32),
-            jax.lax.min,
-            window_dimensions=(4 * rf + 1, 4 * rt + 1),
-            window_strides=(1, 1),
-            padding="SAME",
-        )
+        near = _ellipse_min(core_comp, spans, cap)
         assign = jnp.where(core, comp2d, near).reshape(-1)
         member = mask.reshape(-1) & (assign < cap)
         seg = jnp.where(member, assign, cap)
@@ -375,16 +440,19 @@ def detect_and_cluster_bursts(
     min_samples: int = 5,
     cap: int = 64,
     keypoint_mode: str = "threshold",
+    core_gate: bool = True,
 ) -> Tuple[SpectrogramImage, ImageBursts]:
     """Segment-level entry point mirroring the reference call pair
     ``plot_spectrogram`` + ``detect_and_cluster_bursts``
     (prime_detection.py:179-189).
 
     ``keypoint_mode``: "threshold" (default — above-cut pixels) or
-    "corner" (Harris corner keypoints, the ORB-like mode)."""
+    "corner" (Harris corner keypoints, the ORB-like mode).
+    ``core_gate`` passes through to :func:`cluster_bursts`."""
     img = spectrogram_image(audio, fs, n_fft, spec_cut_factor)
     kp = corner_keypoints(img) if keypoint_mode == "corner" else None
     bursts = cluster_bursts(
-        img, eps_px=eps_px, min_samples=min_samples, cap=cap, keypoint_mask=kp
+        img, eps_px=eps_px, min_samples=min_samples, cap=cap, keypoint_mask=kp,
+        core_gate=core_gate,
     )
     return img, bursts

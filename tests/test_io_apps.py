@@ -99,6 +99,47 @@ class TestLedger:
         assert led2.n_critical == 4
         assert led2.n_non_critical == 2
 
+    def test_stale_journal_flushes_lost_hour(self, tmp_path):
+        """A crash that outlives its hour (or lands between 'flush due' and
+        the row append) must still produce the hourly row on restart —
+        the pre-round-5 recovery silently dropped the whole hour
+        (VERDICT r4 item 6 soak finding)."""
+        t0 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+        led = HourlyLedger(str(tmp_path), now=t0)
+        led.add(4, 2, now=t0 + datetime.timedelta(minutes=5))
+        # crash; restart 2 h later — the journaled hour is long since due
+        led2 = HourlyLedger(str(tmp_path), now=t0 + datetime.timedelta(hours=2))
+        lines = open(os.path.join(str(tmp_path), "20260817.csv")).read().splitlines()
+        assert lines[1] == "2026-08-17 12:00:00;6;4"
+        assert led2.n_critical == 0 and led2.n_non_critical == 0
+
+    def test_stale_journal_flush_is_idempotent(self, tmp_path):
+        """Crash between the row append and the journal reset: the row
+        exists but the journal still holds the flushed counts — recovery
+        must NOT write it twice."""
+        t0 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+        led = HourlyLedger(str(tmp_path), now=t0)
+        led.add(4, 2, now=t0 + datetime.timedelta(minutes=5))
+        # simulate the torn flush: append the row by hand, leave the journal
+        path = os.path.join(str(tmp_path), "20260817.csv")
+        with open(path, "a") as fh:
+            fh.write("2026-08-17 12:00:00;6;4\n")
+        HourlyLedger(str(tmp_path), now=t0 + datetime.timedelta(hours=2))
+        lines = open(path).read().splitlines()
+        assert lines.count("2026-08-17 12:00:00;6;4") == 1  # no double row
+
+    def test_stale_journal_from_previous_day(self, tmp_path):
+        """A stale journal whose hour belongs to yesterday flushes into
+        yesterday's file, not today's."""
+        t0 = datetime.datetime(2026, 8, 17, 23, 10, 0)
+        led = HourlyLedger(str(tmp_path), now=t0)
+        led.add(1, 1, now=t0 + datetime.timedelta(minutes=5))
+        HourlyLedger(str(tmp_path), now=t0 + datetime.timedelta(hours=3))  # 02:10 next day
+        y_lines = open(os.path.join(str(tmp_path), "20260817.csv")).read().splitlines()
+        assert y_lines[1] == "2026-08-17 23:10:00;2;1"
+        t_lines = open(os.path.join(str(tmp_path), "20260818.csv")).read().splitlines()
+        assert len(t_lines) == 1  # header only
+
 
 class TestEventExports:
     def make_dets(self):
