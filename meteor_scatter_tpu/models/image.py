@@ -14,13 +14,16 @@ decision process runs directly on the dB spectrogram array on device:
    with dB above the display vmin (`power_density_db_hz/(40/23) +
    C_MS_SPEC_CUT_FACTOR`, prime_detection.py:84-85) inside the 800-1200 Hz
    display band are "keypoints";
-2. DBSCAN's eps-ball grouping becomes a box dilation by eps/2 followed by
-   connected-component labeling (pointer-jumping min-propagation — a
-   standard parallel CC formulation that XLA compiles to gathers);
-3. clusters with fewer than ``min_samples`` member pixels are dropped
-   (DBSCAN noise), and the critical rule is evaluated on the cluster's
-   bounding-box *duration in seconds*, calibrated to the reference's
-   pixel rule: its rendered axes map 496 px ↔ 25 s and 365 px ↔ 400 Hz
+2. DBSCAN runs exactly at pixel resolution (round 5): the core rule counts
+   L2 eps-neighbors with one elliptical-stencil conv (the rendered-pixel
+   metric is anisotropic in grid space), clusters are labeled by
+   pointer-jumping min-propagation directly on the core graph whose
+   per-round neighborhood is the whole eps ellipse, and border keypoints
+   join a core's cluster within exact L2 reach — count-level agreement
+   with a clean-room DBSCAN oracle is pinned in tests (VALIDATION.md);
+3. the critical rule is evaluated on the cluster's bounding-box *duration
+   in seconds*, calibrated to the reference's pixel rule: its rendered
+   axes map 496 px ↔ 25 s and 365 px ↔ 400 Hz
    (`detector_and_classification.py:73-78`), so 5 px ≈ 0.5 s and
    eps=30 px ≈ (1.51 s, 32.9 Hz).
 
