@@ -306,6 +306,27 @@ def frame_capture_host(x_np: np.ndarray, plan: dict) -> np.ndarray:
     return xp[..., :need].reshape(x_np.shape[:-1] + (m, q))
 
 
+def frame_capture_sharded_host(x_np: np.ndarray, plan: dict, n_shards: int) -> np.ndarray:
+    """Per-time-shard polyphase frames with the ``a_cols−1`` halo frames
+    baked in: shard k's rows are global frames ``[k·n_out_loc,
+    k·n_out_loc + m_loc)`` (``m_loc = n_out_loc + a_cols − 1``), so a
+    time-sharded DDC bank (`parallel.sharded.sharded_channelize_iq_frames`)
+    pays neither the in-graph flat→framed relayout (5.1 ms per 10 s ×
+    2 MS/s capture, tools/iq_breakdown.py) nor a ppermute halo exchange —
+    the duplicated halo rows cost ``(a_cols−1)·n_shards·q`` samples of
+    host memcpy, ~0.01% of the capture.  Returns
+    ``(n_shards,) + x.shape[:-1] + (m_loc, q)``."""
+    f = frame_capture_host(x_np, plan)
+    a_cols, n_out = plan["a_cols"], plan["n_out"]
+    if n_out % n_shards:
+        raise ValueError(f"n_out ({n_out}) must divide across {n_shards} shards")
+    n_out_loc = n_out // n_shards
+    m_loc = n_out_loc + a_cols - 1
+    return np.stack(
+        [f[..., k * n_out_loc : k * n_out_loc + m_loc, :] for k in range(n_shards)]
+    )
+
+
 def channelize_frames(
     f: jnp.ndarray, tables, plan: dict
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -554,6 +554,46 @@ def sharded_stream_process(
     return st2, ev, diags
 
 
+def _iq_bank_setup(n, fs, center_freqs, bandwidth, decim, numtaps, n_time):
+    """Shared host-side setup for the time-sharded DDC bank (tables, local
+    framing geometry, and the exact-integer per-(shard, channel) phase
+    rotation) — used by both the flat and the pre-framed forms."""
+    from meteor_scatter_tpu.ops.fir import (
+        _bank_tables,
+        _validated_int_rate_and_freqs,
+        firwin_lowpass,
+    )
+
+    fs_i, freqs = _validated_int_rate_and_freqs(fs, center_freqs)
+    q, c_n = int(decim), len(freqs)
+    if n % (q * n_time):
+        raise ValueError(
+            f"samples ({n}) must divide into whole decimation frames per "
+            f"time shard (q·n_time = {q * n_time})"
+        )
+    t = int(numtaps)
+    pl = (t - 1) // 2
+    a_cols = -(-t // q)
+    rh = (a_cols - 1) * q - pl
+    if rh < 0:
+        raise ValueError("numtaps must be >= 2*decim for the sharded bank")
+    s_loc = n // n_time
+    n_out_loc = s_loc // q
+    m_loc = n_out_loc + a_cols - 1
+
+    h = firwin_lowpass(t, bandwidth / 2.0, fs)
+    hh_j, cr_j, sr_j = _bank_tables(fs_i, freqs, h, q, a_cols, m_loc, pl)
+
+    # per-(shard, channel) constant rotation, exact integer phase arithmetic
+    ks = np.arange(n_time, dtype=np.int64)[:, None] * s_loc
+    ph = (ks * np.asarray(freqs, np.int64)[None, :]) % fs_i
+    ang = 2.0 * np.pi * ph / fs_i
+    cth = jnp.asarray(np.cos(ang), jnp.float32)  # (n_time, C)
+    sth = jnp.asarray(np.sin(ang), jnp.float32)
+    return (q, c_n, a_cols, pl, rh, s_loc, n_out_loc, m_loc,
+            hh_j, cr_j, sr_j, cth, sth)
+
+
 def sharded_channelize_iq(
     x_re: jnp.ndarray,  # (S,) wideband I component
     x_im: jnp.ndarray,  # (S,) wideband Q component
@@ -585,43 +625,15 @@ def sharded_channelize_iq(
 
     Returns ``(y_re, y_im)``, each (C, n_out) sharded over the time axis.
     """
-    from meteor_scatter_tpu.ops.fir import (
-        _bank_apply,
-        _bank_tables,
-        _validated_int_rate_and_freqs,
-        firwin_lowpass,
-    )
-
     n = x_re.shape[-1]
     if x_re.shape != x_im.shape:
         raise ValueError(f"I/Q shape mismatch: {x_re.shape} vs {x_im.shape}")
-    fs_i, freqs = _validated_int_rate_and_freqs(fs, center_freqs)
-    q, c_n = int(decim), len(freqs)
     n_time = mesh.shape[TIME_AXIS]
-    if n % (q * n_time):
-        raise ValueError(
-            f"samples ({n}) must divide into whole decimation frames per "
-            f"time shard (q·n_time = {q * n_time})"
-        )
-    t = int(numtaps)
-    pl = (t - 1) // 2
-    a_cols = -(-t // q)
-    rh = (a_cols - 1) * q - pl
-    if rh < 0:
-        raise ValueError("numtaps must be >= 2*decim for the sharded bank")
-    s_loc = n // n_time
-    n_out_loc = s_loc // q
-    m_loc = n_out_loc + a_cols - 1
-
-    h = firwin_lowpass(t, bandwidth / 2.0, fs)
-    hh_j, cr_j, sr_j = _bank_tables(fs_i, freqs, h, q, a_cols, m_loc, pl)
-
-    # per-(shard, channel) constant rotation, exact integer phase arithmetic
-    ks = np.arange(n_time, dtype=np.int64)[:, None] * s_loc
-    ph = (ks * np.asarray(freqs, np.int64)[None, :]) % fs_i
-    ang = 2.0 * np.pi * ph / fs_i
-    cth = jnp.asarray(np.cos(ang), jnp.float32)  # (n_time, C)
-    sth = jnp.asarray(np.sin(ang), jnp.float32)
+    (q, c_n, a_cols, pl, rh, s_loc, n_out_loc, m_loc,
+     hh_j, cr_j, sr_j, cth, sth) = _iq_bank_setup(
+        n, fs, center_freqs, bandwidth, decim, numtaps, n_time
+    )
+    from meteor_scatter_tpu.ops.fir import _bank_apply
 
     def local(xr, xi, hh, cr, sr, ct, st):
         xs = jnp.stack([xr.astype(jnp.float32), xi.astype(jnp.float32)])
@@ -646,6 +658,74 @@ def sharded_channelize_iq(
     )
     return fn(
         _place(x_re, mesh, TIME_AXIS), _place(x_im, mesh, TIME_AXIS),
+        hh_j, cr_j, sr_j,
+        _place(cth, mesh, TIME_AXIS, None), _place(sth, mesh, TIME_AXIS, None),
+    )
+
+
+def sharded_channelize_iq_frames(
+    f_sh: jnp.ndarray,  # (n_time, 2, m_loc, q) per-shard frames incl. halo
+    mesh: Mesh,
+    fs: float,
+    center_freqs,
+    bandwidth: float,
+    decim: int,
+    numtaps: int = 257,
+):
+    """Pre-framed pod form of :func:`sharded_channelize_iq` (round 5): the
+    host bakes per-shard polyphase frames *with the halo rows included*
+    (`meteor_scatter_tpu.ops.fir.frame_capture_sharded_host`), so each time
+    shard pays neither the in-graph flat→framed relayout — 5.1 ms per
+    10 s × 2 MS/s capture on the single-chip path, the dominant cost
+    `tools/iq_breakdown.py` attributed — nor any ppermute halo exchange
+    (the a_cols−1 duplicated frame rows per shard replace it at ~0.01% of
+    the capture in host memcpy).  Bit-identical to the flat form: the
+    local frames and tables are the same values, so `_bank_apply` and the
+    per-shard rotation see identical inputs
+    (pinned in ``tests/test_parallel.py``).
+
+    Returns ``(y_re, y_im)``, each (C, n_out) sharded over the time axis.
+    """
+    from meteor_scatter_tpu.ops.fir import _bank_apply
+
+    n_time = mesh.shape[TIME_AXIS]
+    if f_sh.ndim != 4 or f_sh.shape[0] != n_time or f_sh.shape[1] != 2:
+        raise ValueError(
+            f"expected (n_time={n_time}, 2, m_loc, q) pre-framed input, "
+            f"got {f_sh.shape}"
+        )
+    q = int(decim)
+    a_cols = -(-int(numtaps) // q)
+    m_loc = f_sh.shape[2]
+    n_out_loc = m_loc - (a_cols - 1)
+    n = n_out_loc * q * n_time
+    (q, c_n, a_cols, pl, rh, s_loc, n_out_loc2, m_loc2,
+     hh_j, cr_j, sr_j, cth, sth) = _iq_bank_setup(
+        n, fs, center_freqs, bandwidth, decim, numtaps, n_time
+    )
+    assert (n_out_loc2, m_loc2) == (n_out_loc, m_loc)
+
+    def local(fl, hh, cr, sr, ct, st):
+        f = fl[0].astype(jnp.float32)  # (2, m_loc, q)
+        dc, ds = _bank_apply(f, hh, cr, sr, c_n, a_cols, n_out_loc)
+        y_re = dc[0] + ds[1]
+        y_im = dc[1] - ds[0]
+        c = ct[0][:, None]
+        s = st[0][:, None]
+        return c * y_re + s * y_im, c * y_im - s * y_re
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(TIME_AXIS, None, None, None),
+            P(), P(), P(),
+            P(TIME_AXIS, None), P(TIME_AXIS, None),
+        ),
+        out_specs=(P(None, TIME_AXIS), P(None, TIME_AXIS)),
+    )
+    return fn(
+        _place(f_sh, mesh, TIME_AXIS, None, None, None),
         hh_j, cr_j, sr_j,
         _place(cth, mesh, TIME_AXIS, None), _place(sth, mesh, TIME_AXIS, None),
     )

@@ -434,6 +434,36 @@ class TestShardedChannelizerIQ:
             np.asarray(yi_s)[:, :n], np.asarray(yi_u)[:, :n], atol=2e-5
         )
 
+    def test_channelizer_preframed_equals_flat_sharded(self, mesh):
+        """The pre-framed pod form (host-baked per-shard frames + halos, no
+        in-graph framing, no ppermute) must be BIT-identical to the flat
+        sharded form — same local frame values, same tables (round 5)."""
+        from meteor_scatter_tpu.ops.fir import (
+            channel_bank_plan,
+            frame_capture_sharded_host,
+        )
+        from meteor_scatter_tpu.parallel.sharded import (
+            TIME_AXIS,
+            sharded_channelize_iq,
+            sharded_channelize_iq_frames,
+        )
+
+        x_re, x_im = self._capture(4.0)
+        centers = np.asarray(self.FREQS) - self.TONE
+        kw = dict(bandwidth=1500.0, decim=16, numtaps=65)
+        yr_s, yi_s = sharded_channelize_iq(
+            jnp.asarray(x_re), jnp.asarray(x_im), mesh, self.FS, centers, **kw
+        )
+
+        n_time = mesh.shape[TIME_AXIS]
+        plan, _ = channel_bank_plan(x_re.size, self.FS, centers, **kw)
+        f_sh = frame_capture_sharded_host(np.stack([x_re, x_im]), plan, n_time)
+        yr_p, yi_p = sharded_channelize_iq_frames(
+            jnp.asarray(f_sh), mesh, self.FS, centers, **kw
+        )
+        assert np.array_equal(np.asarray(yr_s), np.asarray(yr_p))
+        assert np.array_equal(np.asarray(yi_s), np.asarray(yi_p))
+
     def test_iq_stream_chain_equals_unsharded(self, mesh):
         from meteor_scatter_tpu.models.streaming import (
             StreamConfig,
