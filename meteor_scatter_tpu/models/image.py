@@ -412,7 +412,14 @@ def cluster_bursts(
     f_min = jax.ops.segment_min(jnp.where(member, fi, h), seg, num_segments=cap + 1)[:cap]
     f_max = jax.ops.segment_max(jnp.where(member, fi, -1), seg, num_segments=cap + 1)[:cap]
 
-    valid = n_points >= min_samples  # DBSCAN noise rule
+    # DBSCAN noise rule.  Under core gating the min_samples semantics live
+    # entirely in the CORE rule: a cluster is exactly one core component
+    # (always ≥ 1 member — its root core), and DBSCAN's cluster count is
+    # the number of core components regardless of how shared border points
+    # are divided — a post-hoc size filter could wrongly drop a cluster
+    # whose borders a lower-id neighbor claimed.  The legacy path keeps
+    # the post-hoc filter (its linking has no core rule).
+    valid = n_points >= (1 if core_gate else min_samples)
     # critical: bbox duration >= 0.5 s (5 reference px), evaluated in seconds
     min_dur_sec = critical_min_width_px / _REF_PX_PER_SEC
     width_sec = (t_max - t_min).astype(jnp.float32) * img.hop_sec
