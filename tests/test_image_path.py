@@ -207,6 +207,31 @@ class TestDbscanOracle:
             want = _oracle_counts(mask)
             assert ours == want, f"trial {trial}: ours={ours} oracle={want}"
 
+    def test_fuzzed_params_count_agreement(self):
+        # sweep min_samples and eps too: the core rule, the eps-graph
+        # linking, and the core-component validity rule must track the
+        # oracle across parameterizations, including sparse clouds where
+        # shared-border division between clusters matters
+        rng = np.random.default_rng(1234)
+        for trial in range(12):
+            min_samples = int(rng.choice([2, 3, 5, 8]))
+            eps = float(rng.choice([12.0, 20.0, 30.0]))
+            mask = np.zeros((50, 120), bool)
+            n_pts = rng.integers(15, 90)
+            mask[rng.integers(0, 50, n_pts), rng.integers(0, 120, n_pts)] = True
+            for _ in range(rng.integers(0, 3)):
+                r0, c0 = rng.integers(0, 45), rng.integers(0, 110)
+                mask[r0 : r0 + rng.integers(2, 6), c0 : c0 + rng.integers(2, 7)] = True
+            img = _unit_px_image(*mask.shape)
+            ours = self._run_ours(
+                mask, img, eps_px=eps, min_samples=min_samples
+            )
+            want = _oracle_counts(mask, eps=eps, min_samples=min_samples)
+            assert ours == want, (
+                f"trial {trial} (eps={eps}, min_samples={min_samples}): "
+                f"ours={ours} oracle={want}"
+            )
+
     def test_corner_keypoint_masks_match_oracle(self):
         # (b) the repo's own corner-keypoint masks from synthetic bursts,
         # compared in the real (non-unit) pixel geometry
