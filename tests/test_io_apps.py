@@ -591,3 +591,34 @@ class TestCrashRecoverySoak:
         # ... and at most one lost segment per SIGKILL
         assert deficit_total <= n_kills * seg_total
         assert deficit_crit <= n_kills * seg_crit
+
+
+class TestMonitorSimClock:
+    def test_start_time_maps_rows_to_audio_timeline(self, tmp_path):
+        """--start-time pins ledger rows to the recording's own timeline
+        (start + consumed samples / rate, scaled), not the wall clock —
+        reprocessing a historical capture must produce correctly-dated
+        CSVs regardless of when it runs."""
+        import meteor_scatter_tpu.apps.monitor as mon
+        from meteor_scatter_tpu.io.wavio import write_wav
+
+        fs, seg = 5000, 30
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal(fs * seg * 4) * 0.3 * 3000).astype(np.int16)
+        wav = str(tmp_path / "hist.wav")
+        write_wav(wav, fs, x)
+
+        out = str(tmp_path / "csv")
+        mon.main([
+            "--wav", wav, "--csv-out", out,
+            "--spec-out", str(tmp_path / "spec"),
+            "--start-time", "2024-11-03T22:30:00", "--time-scale", "60",
+        ])
+        # 4 segments x 30 s x 60 = 2 sim-hours from 22:30 -> 00:30 next day;
+        # the first hourly row flushes at +60 min with ts = the sim start,
+        # in the file named for the recording's START date
+        path = os.path.join(out, "20241103.csv")
+        lines = open(path).read().splitlines()
+        assert lines[1].startswith("2024-11-03 22:30:00;")
+        # the daily rotation followed the simulated midnight
+        assert os.path.exists(os.path.join(out, "20241104.csv"))
