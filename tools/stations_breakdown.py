@@ -99,8 +99,11 @@ def main(argv=None) -> int:
           f"nperseg={nperseg} w={w}", file=sys.stderr)
 
     def front(xj, Pp):
-        ms, n1, n2 = block_band_sums_db(xj, Pp, slices, nseg)
-        return _sanitize_levels(ms - (n1 + n2) / 2.0)
+        # mirrors stream_front_headless: per-level sanitize (round 5)
+        ms, n1, n2 = (
+            _sanitize_levels(v) for v in block_band_sums_db(xj, Pp, slices, nseg)
+        )
+        return ms - (n1 + n2) / 2.0
 
     def prologue(st, on):
         return jax.vmap(
