@@ -25,6 +25,10 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()

@@ -20,6 +20,10 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def synth_hour(fs: int, seconds: float, seed: int = 9) -> np.ndarray:
     rng = np.random.default_rng(seed)

@@ -37,6 +37,10 @@ import sys
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def synth(fs: int, seconds: float, seed: int) -> np.ndarray:
     """Noise + a few bursts with randomized strength/duration, including
