@@ -206,7 +206,7 @@ def tpu_pipeline(x_np: np.ndarray):
     return len(x_np) / dt, dt, diag
 
 
-def multi_channel_pipeline(n_channels: int, seconds: float) -> float:
+def multi_channel_pipeline(n_channels: int, seconds: float) -> tuple:
     """Aggregate samples/s with N beacon channels batched on one chip."""
     import jax
     import jax.numpy as jnp
@@ -460,7 +460,7 @@ def stations_pipeline(
     return x_np.size / dt, gate_info, diag
 
 
-def image_pipeline(n_segments: int = 8, seconds: float = 30.0, fs: int = 5000) -> float:
+def image_pipeline(n_segments: int = 8, seconds: float = 30.0, fs: int = 5000) -> tuple:
     """Monitor/ML-path metric: 30 s @ 5 kHz segments through the
     spectrogram-image cluster detector (the reference's deployed 24/7 hot
     path, prime_detection.py:61-98 + detector_and_classification.py —

@@ -66,7 +66,14 @@ class HourlyLedger:
         landed *between* the row append and the journal reset, the row
         already exists and the journal is discarded instead (hour_start
         values are unique per flush, so a timestamp match identifies the
-        exact row)."""
+        exact row).
+
+        Rotation corner: when the journaled hour's flush-due moment lands on
+        a *later calendar day* than its start, an uninterrupted run hits the
+        daily rotation first and resets the counts without flushing
+        (``maybe_flush`` date-change branch = `prime_detection.py:232-247`),
+        so recovery must drop such a journal, not flush it — flushing would
+        fabricate a pre-midnight row no uninterrupted run produces."""
         if self.journal_path and os.path.exists(self.journal_path):
             try:
                 with open(self.journal_path) as fh:
@@ -77,6 +84,10 @@ class HourlyLedger:
                     self.hour_start = start
                     self.n_critical = int(j["critical"])
                     self.n_non_critical = int(j["non_critical"])
+                elif (start + self.save_interval).date() != start.date():
+                    # flush-due crosses midnight: rotation would have reset
+                    # these counts before any flush — discard the journal
+                    self._journal()
                 elif not self._row_exists(start):
                     self.hour_start = start
                     self.n_critical = int(j["critical"])

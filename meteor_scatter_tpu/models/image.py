@@ -151,7 +151,9 @@ def _ellipse_spans(radius_px: float, px_f: float, px_t: float):
     ry = int(math.floor(radius_px / px_f))
     spans = []
     for dy in range(-ry, ry + 1):
-        rem = radius_px * radius_px - (dy * px_f) ** 2
+        # +1e-9 admits offsets at distance exactly eps despite FP rounding
+        # (DBSCAN's ≤-eps rule); the kernel inherits it via _ellipse_kernel
+        rem = radius_px * radius_px + 1e-9 - (dy * px_f) ** 2
         if rem < 0:
             continue
         spans.append((dy, int(math.floor(math.sqrt(rem) / px_t))))
@@ -287,12 +289,20 @@ def corner_keypoints(
 def _ellipse_kernel(radius_px: float, px_f: float, px_t: float) -> np.ndarray:
     """Bool stencil of grid offsets within ``radius_px`` in the reference's
     rendered-pixel metric (non-square spectrogram pixels → an ellipse in
-    grid space): (dy·px_f)² + (dx·px_t)² ≤ r².  Host-side static numpy."""
-    ry = int(math.floor(radius_px / px_f))
-    rx = int(math.floor(radius_px / px_t))
-    dy = np.arange(-ry, ry + 1)[:, None] * px_f
-    dx = np.arange(-rx, rx + 1)[None, :] * px_t
-    return (dy * dy + dx * dx) <= radius_px * radius_px + 1e-9
+    grid space): (dy·px_f)² + (dx·px_t)² ≤ r².  Derived from
+    :func:`_ellipse_spans` so the core-counting neighborhood (this conv
+    stencil) and the adjacency/border neighborhood (the span-decomposed
+    reduce_windows) are the *same set of offsets by construction* — two
+    independent boundary roundings could otherwise disagree on a pair at
+    distance exactly eps, making a point core under one neighborhood but
+    unreachable under the other (round-5 review finding)."""
+    spans = _ellipse_spans(radius_px, px_f, px_t)
+    ry = max(abs(dy) for dy, _ in spans)
+    rx = max(wx for _, wx in spans)
+    k = np.zeros((2 * ry + 1, 2 * rx + 1), dtype=bool)
+    for dy, wx in spans:
+        k[dy + ry, rx - wx : rx + wx + 1] = True
+    return k
 
 
 def _conv_count(x: jnp.ndarray, kern: np.ndarray) -> jnp.ndarray:
@@ -351,11 +361,6 @@ def cluster_bursts(
     # grid pixel sizes in the reference's rendered-pixel metric
     px_t = img.hop_sec * _REF_PX_PER_SEC
     px_f = img.hz_per_bin * _REF_PX_PER_HZ
-    # legacy box radii (also used for the border-assignment window)
-    eps_t_sec = (eps_px / 2.0) / _REF_PX_PER_SEC
-    eps_f_hz = (eps_px / 2.0) / _REF_PX_PER_HZ
-    rt = max(int(round(eps_t_sec / img.hop_sec)), 0)
-    rf = max(int(round(eps_f_hz / img.hz_per_bin)), 0)
 
     if core_gate:
         # DBSCAN core rule, exact at pixel resolution: neighbors within an
@@ -365,6 +370,11 @@ def cluster_bursts(
         core = mask & (neigh >= min_samples - 0.5)
         labels = _cluster_core_labels(core, spans)
     else:
+        # legacy eps/2 box radii (the round-1..4 dilation window)
+        eps_t_sec = (eps_px / 2.0) / _REF_PX_PER_SEC
+        eps_f_hz = (eps_px / 2.0) / _REF_PX_PER_HZ
+        rt = max(int(round(eps_t_sec / img.hop_sec)), 0)
+        rf = max(int(round(eps_f_hz / img.hz_per_bin)), 0)
         core = mask
         dilated = jax.lax.reduce_window(
             mask,

@@ -300,6 +300,12 @@ def frame_capture_host(x_np: np.ndarray, plan: dict) -> np.ndarray:
     pl, m, q = plan["pl"], plan["m"], plan["q"]
     x_np = np.asarray(x_np, np.float32)
     n = x_np.shape[-1]
+    if n != plan["n"]:
+        raise ValueError(
+            f"capture length {n} does not match the plan's n={plan['n']} — "
+            "frames built from a mismatched plan would silently pad or "
+            "truncate the capture"
+        )
     need = m * q
     pad = [(0, 0)] * (x_np.ndim - 1) + [(pl, max(need - n - pl, 0))]
     xp = np.pad(x_np, pad)

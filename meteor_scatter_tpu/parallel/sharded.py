@@ -703,7 +703,17 @@ def sharded_channelize_iq_frames(
      hh_j, cr_j, sr_j, cth, sth) = _iq_bank_setup(
         n, fs, center_freqs, bandwidth, decim, numtaps, n_time
     )
-    assert (n_out_loc2, m_loc2) == (n_out_loc, m_loc)
+    if (n_out_loc2, m_loc2) != (n_out_loc, m_loc):
+        # frames were built with a different decim/numtaps than this call's
+        # plan — proceeding would feed _bank_apply inconsistent a_cols and
+        # return silently wrong channel outputs (and a bare assert would be
+        # stripped under `python -O`)
+        raise ValueError(
+            f"pre-framed geometry (m_loc={m_loc}, n_out_loc={n_out_loc}) "
+            f"does not match the bank plan for decim={decim}, "
+            f"numtaps={numtaps} (expected m_loc={m_loc2}, "
+            f"n_out_loc={n_out_loc2})"
+        )
 
     def local(fl, hh, cr, sr, ct, st):
         f = fl[0].astype(jnp.float32)  # (2, m_loc, q)

@@ -128,6 +128,57 @@ def test_bench_and_readme_perf_roofline_tables_agree():
     ) == ["multi8_samples_per_sec"]
 
 
+def test_skipped_metric_companion_fields_not_absorbed():
+    """Round-5 review finding: when an artifact's metric is skipped
+    (noise-bound or implausible), its gate/label companions — solver name,
+    event-equality verdicts — must be skipped with it, or the README would
+    caption an OLDER artifact's surviving value with the skipped run's
+    metadata (e.g. 'fused solver' over a value the scan produced)."""
+    mod = _load()
+    newest = {
+        "date": "2099-01-01",
+        # stations metric noise-bound in this artifact …
+        "stations64_samples_per_sec": 56_000_000_000,
+        "stations64_t1_ms": [30.0, 31.0, 30.5],
+        "stations64_tk_ms": [29.0, 29.5, 29.2],  # tk <= t1 -> degenerated
+        # … but its companion labels claim a different solver + green gate
+        "stations_impl": "fused",
+        "stations_fused_equals_scan": True,
+        "stations_events": 64,
+        # headline implausible in this artifact, with its own companions
+        "value": 500e9,  # 2 TB/s implied — withheld
+        "vs_baseline": 12345.0,
+        "baseline_cpu_samples_per_sec": 1e7,
+        "fused_equals_xla": True,
+        "verify_events": 99,
+    }
+    comp = mod._companion_fields("stations64_samples_per_sec", newest)
+    assert {"stations_impl", "stations_fused_equals_scan", "stations_events"} <= comp
+    comp_v = mod._companion_fields("value", newest)
+    assert {"vs_baseline", "fused_equals_xla", "verify_events"} <= comp_v
+    # end-to-end through collect(): seed the garbage line as newest and
+    # check nothing from it survives into the merge
+    orig_collect = mod.collect
+    merged, withheld = orig_collect()
+    before = {k: v for k, v in merged.items()}
+    # replay absorb on the synthetic newest artifact
+    implausible = set(mod._implausible(newest))
+    skip = set()
+    for field, (prefix, _) in mod.METRIC_SPECS.items():
+        if field not in newest:
+            continue
+        extras = mod._companion_fields(field, newest)
+        if field in implausible or mod._metric_noise_bound(newest, prefix):
+            skip |= {field} | extras | mod._diag_fields(prefix)
+    for k, v in newest.items():
+        if k not in skip:
+            merged[k] = (v, "synthetic")
+    # neither the metrics nor their companions leaked from the garbage line
+    for k in ("stations64_samples_per_sec", "stations_impl", "value",
+              "vs_baseline", "verify_events", "fused_equals_xla"):
+        assert merged.get(k) == before.get(k), k
+
+
 def test_recency_key_driver_capture_outranks_same_date_surface():
     """ADVICE r4: BENCH_r04 (183.3 G, captured at round-4 end) must outrank
     the older BENCHMARKS.md lines it physically follows, including the

@@ -129,16 +129,35 @@ class TestLedger:
         assert lines.count("2026-08-17 12:00:00;6;4") == 1  # no double row
 
     def test_stale_journal_from_previous_day(self, tmp_path):
-        """A stale journal whose hour belongs to yesterday flushes into
+        """A stale journal whose hour belongs to yesterday — and whose
+        flush-due moment was still *within* yesterday — flushes into
         yesterday's file, not today's."""
-        t0 = datetime.datetime(2026, 8, 17, 23, 10, 0)
+        t0 = datetime.datetime(2026, 8, 17, 22, 30, 0)  # due 23:29.8, pre-midnight
         led = HourlyLedger(str(tmp_path), now=t0)
         led.add(1, 1, now=t0 + datetime.timedelta(minutes=5))
-        HourlyLedger(str(tmp_path), now=t0 + datetime.timedelta(hours=3))  # 02:10 next day
+        HourlyLedger(str(tmp_path), now=t0 + datetime.timedelta(hours=4))  # 02:30 next day
         y_lines = open(os.path.join(str(tmp_path), "20260817.csv")).read().splitlines()
-        assert y_lines[1] == "2026-08-17 23:10:00;2;1"
+        assert y_lines[1] == "2026-08-17 22:30:00;2;1"
         t_lines = open(os.path.join(str(tmp_path), "20260818.csv")).read().splitlines()
         assert len(t_lines) == 1  # header only
+
+    def test_stale_journal_straddling_rotation_is_dropped(self, tmp_path):
+        """A journaled hour whose flush-due moment lands past midnight must
+        be DROPPED by recovery: an uninterrupted run hits the daily rotation
+        first (maybe_flush date-change branch) and resets the counts without
+        flushing, so flushing here would fabricate a pre-midnight row no
+        uninterrupted run produces (round-5 advisor-class finding)."""
+        t0 = datetime.datetime(2026, 8, 17, 23, 40, 0)  # due 00:39.8 next day
+        led = HourlyLedger(str(tmp_path), now=t0)
+        led.add(3, 2, now=t0 + datetime.timedelta(minutes=15))  # crash at 23:55
+        led2 = HourlyLedger(str(tmp_path), now=t0 + datetime.timedelta(hours=1, minutes=20))
+        y_lines = open(os.path.join(str(tmp_path), "20260817.csv")).read().splitlines()
+        assert len(y_lines) == 1  # header only — no fabricated 23:40 row
+        assert led2.n_critical == 0 and led2.n_non_critical == 0
+        # the stale journal was overwritten, so a second restart stays clean
+        HourlyLedger(str(tmp_path), now=t0 + datetime.timedelta(hours=2))
+        y_lines = open(os.path.join(str(tmp_path), "20260817.csv")).read().splitlines()
+        assert len(y_lines) == 1
 
 
 class TestEventExports:

@@ -112,51 +112,51 @@ def main(argv=None) -> int:
         s2, _, _ = stream_scan_fused_batch(scfg, st, on, pm)
         return s2.tr_sum.sum() + s2.block_idx.sum().astype(jnp.float32)
 
-    # stage bodies: (xr, xi, f, hh_eps, crj, srj, st) -> scalar.  hh_eps is
-    # the tap table with the chain eps already added (except S5, which
-    # ignores it and re-materializes xr instead — the retired methodology).
-    # cr/sr ride as jit arguments: large baked-in literals compile
-    # pathologically on the tunneled backend (CLAUDE.md).
-    def s1_body(xr, xi, f, hh_eps, crj, srj, st):
+    # stage bodies: (xr, xi, f, hhj, eps, crj, srj, st) -> scalar.  eps is
+    # the chain dependency (0.0 in steady state); every stage folds it into
+    # the tiny tap table except S5, which threads it through the 80 MB
+    # capture instead (the retired methodology under study).  All tables
+    # ride as jit *arguments* — closing over a device array would bake it
+    # into the traced graph as a literal, which compiles pathologically on
+    # the tunneled backend (CLAUDE.md).
+    def s1_body(xr, xi, f, hhj, eps, crj, srj, st):
         x = jnp.stack([xr, xi])
         fr = _polyphase_frames(x, pl, m, q)
-        g = jnp.dot(fr, hh_eps, precision=jax.lax.Precision.HIGHEST)
+        g = jnp.dot(fr, hhj + eps, precision=jax.lax.Precision.HIGHEST)
         return g.sum()
 
-    def p1_body(xr, xi, f, hh_eps, crj, srj, st):
-        g = jnp.dot(f, hh_eps, precision=jax.lax.Precision.HIGHEST)
+    def p1_body(xr, xi, f, hhj, eps, crj, srj, st):
+        g = jnp.dot(f, hhj + eps, precision=jax.lax.Precision.HIGHEST)
         return g.sum()
 
-    def p2_body(xr, xi, f, hh_eps, crj, srj, st):
-        dc, ds = _bank_apply(f, hh_eps, crj, srj, c_n, a_cols, n_out)
+    def p2_body(xr, xi, f, hhj, eps, crj, srj, st):
+        dc, ds = _bank_apply(f, hhj + eps, crj, srj, c_n, a_cols, n_out)
         y_re, y_im = bank_post(dc, ds)
         return y_re.sum() + y_im.sum()
 
-    def p3_body(xr, xi, f, hh_eps, crj, srj, st):
-        dc, ds = _bank_apply(f, hh_eps, crj, srj, c_n, a_cols, n_out)
+    def p3_body(xr, xi, f, hhj, eps, crj, srj, st):
+        dc, ds = _bank_apply(f, hhj + eps, crj, srj, c_n, a_cols, n_out)
         y_re, _ = bank_post(dc, ds)
         on, pm, _ = stream_front_headless(cfg, y_re, audio_rate)
         return on.sum()
 
-    def p4_body(xr, xi, f, hh_eps, crj, srj, st):
-        dc, ds = _bank_apply(f, hh_eps, crj, srj, c_n, a_cols, n_out)
+    def p4_body(xr, xi, f, hhj, eps, crj, srj, st):
+        dc, ds = _bank_apply(f, hhj + eps, crj, srj, c_n, a_cols, n_out)
         y_re, _ = bank_post(dc, ds)
         return chain_tail(y_re, st)
 
-    def s4_body(xr, xi, f, hh_eps, crj, srj, st):
+    def s4_body(xr, xi, f, hhj, eps, crj, srj, st):
         x = jnp.stack([xr, xi])
         fr = _polyphase_frames(x, pl, m, q)
-        dc, ds = _bank_apply(fr, hh_eps, crj, srj, c_n, a_cols, n_out)
+        dc, ds = _bank_apply(fr, hhj + eps, crj, srj, c_n, a_cols, n_out)
         y_re, _ = bank_post(dc, ds)
         return chain_tail(y_re, st)
 
-    def s5_body(xr, xi, f, hh_eps, crj, srj, st):
-        # retired methodology: eps through the 80 MB capture (hh_eps unused
-        # beyond its data dependency carried via eps extraction below)
-        eps = hh_eps[0, 0] - hh[0, 0]
+    def s5_body(xr, xi, f, hhj, eps, crj, srj, st):
+        # retired methodology: eps through the 80 MB capture, taps clean
         x = jnp.stack([xr + eps, xi])
         fr = _polyphase_frames(x, pl, m, q)
-        dc, ds = _bank_apply(fr, hh, crj, srj, c_n, a_cols, n_out)
+        dc, ds = _bank_apply(fr, hhj, crj, srj, c_n, a_cols, n_out)
         y_re, _ = bank_post(dc, ds)
         return chain_tail(y_re, st)
 
@@ -171,7 +171,7 @@ def main(argv=None) -> int:
         def runk(xr, xi, f, hhj, crj, srj, st, k, body=body):
             def it(_, carry):
                 eps = jnp.where(jnp.isnan(carry), jnp.float32(1.0), jnp.float32(0.0))
-                return body(xr, xi, f, hhj + eps, crj, srj, st)
+                return body(xr, xi, f, hhj, eps, crj, srj, st)
 
             return jax.lax.fori_loop(0, k, it, jnp.float32(0.0))
 

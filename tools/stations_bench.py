@@ -130,8 +130,11 @@ def main(argv=None) -> int:
                 eps = jnp.where(
                     jnp.isnan(s.tr_sum[0]), jnp.float32(1.0), jnp.float32(0.0)
                 )
-                ms, n1, n2 = block_band_sums_db(xj, Pp + eps, slices, nseg)
-                on = _sanitize_levels(ms - (n1 + n2) / 2.0)
+                ms, n1, n2 = (
+                    _sanitize_levels(v)
+                    for v in block_band_sums_db(xj, Pp + eps, slices, nseg)
+                )
+                on = ms - (n1 + n2) / 2.0
                 s2, _, _ = batch_solve(s, on, jnp.zeros_like(on))
                 return s2
 
