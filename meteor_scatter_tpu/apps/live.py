@@ -129,7 +129,6 @@ class LiveSession:
                 self.wf_times,
                 ev["time_start"],
                 ev["time_stop"],
-                ev["duration"],
                 self.cfg.signal_freq,
                 limit_freq_offset=self.vis.limit_freq_offset_wf2_and_export,
                 vmin=psd_mean - self.vis.wf_offset_vmin,
@@ -180,6 +179,10 @@ def wav_file_process(
         chunk_sec = min(chunk_sec, 1.0)
     chunk = int(chunk_sec * fs)
     chunk -= chunk % sess.block_samples
+    # a chunk_sec below one processing block (e.g. --ui clamps to 1 s while
+    # --block-sec 2) would round to zero and make range() raise — feed at
+    # least one whole block per chunk
+    chunk = max(chunk, sess.block_samples)
     for i in range(0, len(data), chunk):
         new = sess.feed(data[i : i + chunk])
         for ev in new:

@@ -39,6 +39,7 @@ class LiveView:
         self.wf: List[np.ndarray] = []
         self.wf_t: List[float] = []
         self.det_marks: List[tuple] = []
+        self._db_mark_artists: List = []
         self.psd_mean_from_init: Optional[float] = None
 
         plt.ion()
@@ -93,6 +94,10 @@ class LiveView:
         keep = self.max_blocks
         for name in ("t", "ms_db", "n1_db", "n2_db", "over", "thr", "wf", "wf_t"):
             setattr(self, name, getattr(self, name)[-keep:])
+        # detection marks left of the window can never be drawn again —
+        # trim like every other series, or a long run grows without bound
+        win0 = self.t[0]
+        self.det_marks = [(a, b) for a, b in self.det_marks if b >= win0]
 
         self.line_psd.set_ydata(psd_db[-1])
         self.ax_psd.relim()
@@ -141,9 +146,19 @@ class LiveView:
         self.l_thr.set_data(self.t, self.thr)
         self.ax_db2.relim()
         self.ax_db2.autoscale_view()
+        # ax_db is never cleared (its series lines update in place), so the
+        # previous update's mark artists must be removed before re-adding —
+        # appending every update leaks ~2·marks Line2Ds per frame
+        for art in self._db_mark_artists:
+            art.remove()
+        self._db_mark_artists = []
         for t0, t1 in self.det_marks:
-            self.ax_db.axvline(t0, color="r", linestyle="--")
-            self.ax_db.axvline(t1, color="g", linestyle="--")
+            self._db_mark_artists.append(
+                self.ax_db.axvline(t0, color="r", linestyle="--")
+            )
+            self._db_mark_artists.append(
+                self.ax_db.axvline(t1, color="g", linestyle="--")
+            )
 
         self.fig.suptitle(f"Meteor Detection Live {self.t[-1]:.1f}s")
         if self.vis.flag_realtime_animation:

@@ -80,6 +80,13 @@ class WavSegmentSource:
         fs, data = read_wav(path, mono=True)
         if fs != cfg.sample_rate:
             raise ValueError(f"expected {cfg.sample_rate} Hz, got {fs}")
+        if np.issubdtype(data.dtype, np.floating):
+            # float WAVs decode to [-1, 1]; the detection dB windows are
+            # calibrated to raw int16 PCM amplitude (reference grabber
+            # scale), which the pump/command sources already deliver — a
+            # float capture must land on the same scale or the same
+            # recording would count differently per ingest flag
+            data = np.asarray(data, np.float32) * 32768.0
         self.data = data
         self.seg = cfg.sample_rate * cfg.segment_len_sec
         self.pos = min(int(start_pos), len(data))

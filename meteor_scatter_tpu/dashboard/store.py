@@ -38,6 +38,13 @@ class LedgerStore:
         (database.py:242-258)."""
         start, end = calculate_last_month()
         out = []
+        if not os.path.isdir(self.csv_folder):
+            # fresh deployment where the dashboard starts before the
+            # monitor created its output folder: an empty scan (and the
+            # resulting all-days-missing report) is the self-healing
+            # behavior — raising here would kill startup and the index
+            # route instead
+            return out
         for name in os.listdir(self.csv_folder):
             if not (name.endswith(".csv") and len(name) == 12):
                 continue
@@ -112,11 +119,8 @@ class LedgerStore:
     def scheduled_update(self) -> None:
         """The recurring job body (database.py:154-181)."""
         try:
-            if os.path.exists(self.storage_path):
-                pass
-            else:
-                print("Cache not found — rebuilding from daily files.")
-                self.load_or_create()
+            # no separate cache-exists branch: update_if_needed already
+            # treats a missing/corrupt cache as a full reload
             updated = self.update_if_needed()
             if updated is not None:
                 self.save(updated)

@@ -68,25 +68,38 @@ class HourlyLedger:
         values are unique per flush, so a timestamp match identifies the
         exact row).
 
-        Rotation corner: when the journaled hour's flush-due moment lands on
-        a *later calendar day* than its start, an uninterrupted run hits the
-        daily rotation first and resets the counts without flushing
-        (``maybe_flush`` date-change branch = `prime_detection.py:232-247`),
-        so recovery must drop such a journal, not flush it — flushing would
-        fabricate a pre-midnight row no uninterrupted run produces."""
+        Rotation corner: the journal records ``previous_date`` (the day of
+        the last add), so recovery can replay the daily-rotation semantics
+        an uninterrupted run applies (``maybe_flush`` date-change branch =
+        `prime_detection.py:232-247` — counts reset without flushing):
+
+        * a still-open journal resumes *with its recorded previous_date*,
+          so if midnight passed while the process was dead, the restarted
+          ledger's own next ``add`` fires the rotation and resets the
+          counts exactly like an uninterrupted run would — resuming with
+          today's date instead would smuggle pre-midnight counts past the
+          rotation into the eventual row;
+        * a stale journal whose flush-due moment lands on a later calendar
+          day than its last add is dropped, not flushed — an uninterrupted
+          run hits the rotation before the flush, so flushing would
+          fabricate a pre-midnight row no uninterrupted run produces."""
         if self.journal_path and os.path.exists(self.journal_path):
             try:
                 with open(self.journal_path) as fh:
                     j = json.load(fh)
                 start = datetime.fromisoformat(j["hour_start"])
+                j_date = j.get("date") or start.strftime("%Y-%m-%d")
                 if now - start < self.save_interval:
-                    # journaled hour still open: resume in place
+                    # journaled hour still open: resume in place (incl. the
+                    # last-add date, so a pending rotation still fires)
                     self.hour_start = start
+                    self.previous_date = j_date
                     self.n_critical = int(j["critical"])
                     self.n_non_critical = int(j["non_critical"])
-                elif (start + self.save_interval).date() != start.date():
-                    # flush-due crosses midnight: rotation would have reset
-                    # these counts before any flush — discard the journal
+                elif (start + self.save_interval).strftime("%Y-%m-%d") != j_date:
+                    # flush-due crosses midnight relative to the last add:
+                    # rotation would have reset these counts before any
+                    # flush — discard the journal
                     self._journal()
                 elif not self._row_exists(start):
                     self.hour_start = start
@@ -114,6 +127,7 @@ class HourlyLedger:
                     "hour_start": self.hour_start.isoformat(),
                     "critical": self.n_critical,
                     "non_critical": self.n_non_critical,
+                    "date": self.previous_date,
                 },
                 fh,
             )

@@ -195,6 +195,9 @@ class WavPump:
     def __init__(self, path: str, ring: PcmRing, chunk_frames: int = 65536,
                  pace_factor: float = 0.0):
         self._lib = load_native()
+        # strong ref: the pump must outlive-order the ring so __del__ joins
+        # the producer (which pushes into ring._h) before PcmRing.__del__
+        # can free the native buffer
         self._ring = ring
         self._h = None
         self._thread = None
@@ -214,7 +217,14 @@ class WavPump:
             self._running = True
 
             def _pump():
-                reader = NativeWavReader(path)
+                try:
+                    # inside the guard: a failed open (file vanished after
+                    # the caller's probe) must still clear _running, or
+                    # consumers polling running() spin forever
+                    reader = NativeWavReader(path)
+                except Exception:
+                    self._running = False
+                    raise
                 fs = max(reader.fs, 1)
                 t0 = _time.monotonic()
                 try:

@@ -150,7 +150,6 @@ def export_waterfall_window(
     block_times: Sequence[float],
     time_start: float,
     time_stop: float,
-    duration: float,
     signal_freq: float,
     limit_freq_offset: float = 100.0,
     vmin: Optional[float] = None,

@@ -127,7 +127,7 @@ struct MsWav {
   int fs;
   int channels;
   int bits;
-  int fmt;  // 1 = PCM, 3 = float
+  int fmt;  // 1 = PCM, 3 = float (WAVE_FORMAT_EXTENSIBLE resolved at open)
   long long n_frames;
   long long pos_frames;
   long long data_offset;
@@ -158,7 +158,23 @@ void* ms_wav_open(const char* path) {
         std::fread(&brate, 4, 1, f);
         std::fread(&balign, 2, 1, f);
         std::fread(&bits, 2, 1, f);
-        std::fseek(f, sz - 16 + (sz & 1), SEEK_CUR);
+        long consumed = 16;
+        if (fmt == 0xFFFE && sz >= 40) {
+          // WAVE_FORMAT_EXTENSIBLE (SDR/DAW writers): the real format tag
+          // is the first two bytes of the SubFormat GUID, after
+          // cbSize/validbits/channel-mask — resolve it so a plain PCM16
+          // capture with an extensible header decodes instead of silently
+          // matching no branch in ms_wav_read_f32
+          uint16_t cbsize = 0, validbits = 0, subfmt = 0;
+          uint32_t chmask = 0;
+          std::fread(&cbsize, 2, 1, f);
+          std::fread(&validbits, 2, 1, f);
+          std::fread(&chmask, 4, 1, f);
+          std::fread(&subfmt, 2, 1, f);
+          consumed = 26;
+          fmt = subfmt;
+        }
+        std::fseek(f, sz - consumed + (sz & 1), SEEK_CUR);
         w->fmt = fmt;
         w->channels = ch;
         w->fs = static_cast<int>(fs);
@@ -171,7 +187,12 @@ void* ms_wav_open(const char* path) {
         std::fseek(f, sz + (sz & 1), SEEK_CUR);
       }
     }
-    if (w->data_offset < 0 || w->channels <= 0 || w->bits <= 0) {
+    // only combinations ms_wav_read_f32 can decode may open — anything
+    // else (24-bit PCM, float64, ...) must fail loudly here rather than
+    // stream silent zeros to the detector
+    if (w->data_offset < 0 || w->channels <= 0 || w->bits <= 0 ||
+        !((w->fmt == 3 && w->bits == 32) ||
+          (w->fmt == 1 && (w->bits == 16 || w->bits == 32)))) {
       delete w;
       goto fail;
     }

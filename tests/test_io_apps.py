@@ -159,6 +159,27 @@ class TestLedger:
         y_lines = open(os.path.join(str(tmp_path), "20260817.csv")).read().splitlines()
         assert len(y_lines) == 1
 
+    def test_open_journal_resumed_across_midnight_still_rotates(self, tmp_path):
+        """A crash at 23:55 with restart at 00:05 resumes the open journal —
+        but the restarted ledger must still fire the daily rotation on its
+        first add (the journal records the last add's date for exactly
+        this), resetting the pre-midnight counts like an uninterrupted run.
+        Resuming with today's date instead would smuggle them past the
+        rotation into the eventual 23:40 row (round-5 review finding)."""
+        t0 = datetime.datetime(2026, 8, 17, 23, 40, 0)
+        led = HourlyLedger(str(tmp_path), now=t0)
+        led.add(3, 2, now=t0 + datetime.timedelta(minutes=15))  # crash 23:55
+        led2 = HourlyLedger(str(tmp_path), now=t0 + datetime.timedelta(minutes=25))
+        assert led2.n_critical == 3  # resumed in place …
+        # … but the first post-midnight add rotates: counts reset, then the
+        # new segment's counts land in the fresh day
+        led2.add(1, 1, now=t0 + datetime.timedelta(minutes=26))  # 00:06
+        assert (led2.n_critical, led2.n_non_critical) == (0, 0)
+        # the due flush writes the 23:40 row with post-rotation counts only
+        led2.add(1, 0, now=t0 + datetime.timedelta(minutes=61))  # 00:41, due
+        y_lines = open(os.path.join(str(tmp_path), "20260817.csv")).read().splitlines()
+        assert y_lines[1] == "2026-08-17 23:40:00;1;1"  # only the 00:41 add
+
 
 class TestEventExports:
     def make_dets(self):
@@ -305,6 +326,32 @@ class TestMonitorLoop:
         f = os.path.join(str(tmp_path / "csv"), "20260817.csv")
         assert open(f).readline().strip() == "Timestamp;Anzahl;Kritisch"
 
+    def test_float_wav_matches_int16_scale(self, tmp_path):
+        """A float32 WAV of the same recording must feed the detector at
+        the same (int16 PCM) amplitude scale as the PCM16 WAV — the cut
+        calibration is not scale-invariant, so a [-1, 1] float capture
+        would otherwise count differently per ingest path (round-5 review
+        finding)."""
+        from meteor_scatter_tpu.apps.monitor import WavSegmentSource
+        from meteor_scatter_tpu.config import MonitorConfig
+        from meteor_scatter_tpu.io.wavio import write_wav
+
+        fs = 5000
+        rng = np.random.default_rng(5)
+        xi = (rng.standard_normal(fs * 30) * 3000).astype(np.int16)
+        p_i = str(tmp_path / "i.wav")
+        p_f = str(tmp_path / "f.wav")
+        write_wav(p_i, fs, xi)
+        write_wav(p_f, fs, xi.astype(np.float32) / 32768.0)
+        cfg = MonitorConfig(
+            csv_out_dir=str(tmp_path / "csv"), spec_out_dir=str(tmp_path / "spec")
+        )
+        gi = WavSegmentSource(p_i, cfg).grab()
+        gf = WavSegmentSource(p_f, cfg).grab()
+        np.testing.assert_allclose(
+            np.asarray(gf, np.float32), np.asarray(gi, np.float32), atol=1e-3
+        )
+
     def test_pump_source_matches_direct_replay(self, tmp_path):
         # the native background-pump ingest (producer thread + SPSC ring)
         # must yield the same segments, hence the same ledger counts, as
@@ -415,6 +462,34 @@ class TestAnalyzeApp:
         assert cfg2.detection == cfg.detection
         assert cfg2.bandpower == cfg.bandpower
         assert cfg2.dashboard == cfg.dashboard
+
+
+class TestLiveApp:
+    def test_chunk_smaller_than_block_feeds_whole_blocks(self, tmp_path):
+        """chunk_sec below one processing block (e.g. --ui clamps chunk to
+        1 s while --block-sec is larger) rounded the chunk to zero samples
+        and crashed range() before any audio was processed (round-5 review
+        finding); it must instead feed at least one block per chunk and
+        produce the same events as a large-chunk run."""
+        from meteor_scatter_tpu.apps.live import wav_file_process
+        from meteor_scatter_tpu.config import DetectionConfig
+        from meteor_scatter_tpu.io.wavio import write_wav
+
+        fs = 4000
+        rng = np.random.default_rng(11)
+        t = np.arange(fs * 40) / fs
+        x = rng.standard_normal(len(t)) * 0.05
+        m = (t >= 25.0) & (t < 27.0)
+        x[m] += 1.5 * np.sin(2 * np.pi * 1000.0 * t[m])
+        p = str(tmp_path / "live.wav")
+        write_wav(p, fs, (x * 8000).astype(np.int16))
+
+        cfg = DetectionConfig()  # proc_block_sec = 0.2
+        ev_big = wav_file_process(p, cfg, chunk_sec=60.0, headless=True)
+        ev_tiny = wav_file_process(p, cfg, chunk_sec=0.1, headless=True)
+        assert [e["time_start"] for e in ev_tiny] == [e["time_start"] for e in ev_big]
+        assert [e["time_stop"] for e in ev_tiny] == [e["time_stop"] for e in ev_big]
+        assert len(ev_big) >= 1  # the injected burst was actually found
 
 
 class TestMonitorSupervision:

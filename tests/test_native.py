@@ -120,6 +120,57 @@ class TestNativeWav:
         assert len(out) == fs
         np.testing.assert_allclose(out, x, atol=0)
 
+    @staticmethod
+    def _write_extensible_pcm16(path, fs, x):
+        """Hand-rolled WAVE_FORMAT_EXTENSIBLE (0xFFFE) header around PCM16
+        data — the layout SDR/DAW tools commonly emit."""
+        import struct
+
+        data = x.astype("<i2").tobytes()
+        # fmt chunk: 16 basic + cbSize(2) + validbits(2) + chmask(4) + GUID(16)
+        sub_guid = struct.pack("<H", 1) + b"\x00\x00" + bytes(
+            [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+        )
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, fs, fs * 2, 2, 16)
+        fmt += struct.pack("<HHI", 22, 16, 0x4) + sub_guid
+        riff = b"WAVE"
+        riff += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        riff += b"data" + struct.pack("<I", len(data)) + data
+        with open(path, "wb") as fh:
+            fh.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+    def test_extensible_header_pcm16(self, tmp_path):
+        """A PCM16 WAV with a WAVE_FORMAT_EXTENSIBLE header must decode the
+        real samples — the pre-fix reader opened it but emitted silence
+        (matching no fmt branch), so the monitor recorded zero detections
+        with no error (round-5 review finding)."""
+        fs = 4000
+        x = (np.sin(np.linspace(0, 100, fs)) * 15000).astype(np.int16)
+        p = str(tmp_path / "ext.wav")
+        self._write_extensible_pcm16(p, fs, x)
+        rd = NativeWavReader(p)
+        assert rd.native
+        out = rd.read(fs + 10)
+        rd.close()
+        assert len(out) == fs
+        np.testing.assert_allclose(out, x.astype(np.float32) / 32768.0, atol=0)
+
+    def test_unsupported_format_fails_open(self, tmp_path):
+        """24-bit PCM (undecodable by ms_wav_read_f32) must fail at open,
+        not stream silent zeros."""
+        import struct
+
+        fs = 4000
+        data = bytes(300)  # 100 frames of 24-bit silence
+        fmt = struct.pack("<HHIIHH", 1, 1, fs, fs * 3, 3, 24)
+        riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        riff += b"data" + struct.pack("<I", len(data)) + data
+        p = str(tmp_path / "p24.wav")
+        with open(p, "wb") as fh:
+            fh.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+        with pytest.raises(IOError):
+            NativeWavReader(p)
+
     def test_stereo_collapses_first_channel(self, tmp_path):
         fs = 4000
         st = np.stack(
