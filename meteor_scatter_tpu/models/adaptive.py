@@ -90,7 +90,12 @@ def adaptive_thresholds(
             in_fixed, fixed_threshold, jnp.where(can_update, windowed, prev_thr)
         ).astype(dtype)
 
-        above = d > thr
+        # pre-stream blocks (absolute index < 0 — reachable only through a
+        # time-shard warm-up replay over shard 0's zero-filled halo) must
+        # never register detections: the unsharded series has no such
+        # blocks, and a fixed threshold below zero would otherwise let the
+        # zero-padding fire and freeze real early blocks (no-op when i >= 0)
+        above = jnp.logical_and(d > thr, i >= 0)
         new_freeze = jnp.maximum(
             i + freeze_blocks_after, jnp.maximum(0, i - freeze_blocks_before)
         )
@@ -138,7 +143,10 @@ def adaptive_thresholds_fast(
     m = (cs[i] - cs[lo]) / safe
     m2 = (cs2[i] - cs2[lo]) / safe
     std = jnp.sqrt(jnp.maximum(m2 - m * m, 0))
-    windowed = jnp.where(cnt > 0, m + threshold_std_factor * std, jnp.nan)
+    # cnt==0 only at block 0: the sequential scan computes 0+k*0 = 0
+    # there (empty-window stats), reachable when fixed_threshold_blocks
+    # == 0 — NaN would silently suppress detections at that block
+    windowed = jnp.where(cnt > 0, m + threshold_std_factor * std, 0.0)
 
     def step(carry, inp):
         freeze_until, prev_thr = carry
@@ -216,7 +224,10 @@ def adaptive_thresholds_parallel(
     m = (cs[i] - cs[lo]) / safe
     m2 = (cs2[i] - cs2[lo]) / safe
     std = jnp.sqrt(jnp.maximum(m2 - m * m, 0))
-    windowed = jnp.where(cnt > 0, m + threshold_std_factor * std, jnp.nan)
+    # cnt==0 only at block 0: the sequential scan computes 0+k*0 = 0
+    # there (empty-window stats), reachable when fixed_threshold_blocks
+    # == 0 — NaN would silently suppress detections at that block
+    windowed = jnp.where(cnt > 0, m + threshold_std_factor * std, 0.0)
 
     new_freeze = jnp.maximum(i + freeze_blocks_after, jnp.maximum(0, i - freeze_blocks_before))
     in_fixed = i < fixed_threshold_blocks

@@ -42,7 +42,10 @@ def detect_fixed(
     # dB mean recomputed over [start, n-1).
     n = delta.shape[0]
     last = jnp.maximum(ev.count - 1, 0)
-    ends_open = (ev.count > 0) & above[-1]
+    # under overflow the end-touching run (the highest run id) was dropped
+    # by events_from_mask, so slot count-1 holds an unrelated earlier event
+    # — patching it would corrupt its stop/mean
+    ends_open = (ev.count > 0) & above[-1] & ~ev.overflow
     open_stop = jnp.asarray(n - 1, jnp.int32)
     open_start = ev.start[last]
     length = jnp.maximum(open_stop - open_start, 0)

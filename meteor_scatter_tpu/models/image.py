@@ -70,6 +70,9 @@ class ImageBursts(NamedTuple):
     count: jnp.ndarray
     n_critical: jnp.ndarray
     n_non_critical: jnp.ndarray
+    # clusters beyond the cap were routed to the drop bucket: counts are
+    # lower bounds when set (fixed-capacity buffer convention, CLAUDE.md)
+    overflow: jnp.ndarray
 
 
 def spectrogram_image(
@@ -437,6 +440,9 @@ def cluster_bursts(
 
     n_clusters = jnp.sum(valid.astype(jnp.int32))
     n_crit = jnp.sum(critical.astype(jnp.int32))
+    # background carries label HW (never a root), so is_root counts exactly
+    # the labeled components; any beyond cap landed in the drop bucket
+    n_components_total = jnp.sum(is_root.astype(jnp.int32))
 
     return ImageBursts(
         t_min=t_min,
@@ -448,6 +454,7 @@ def cluster_bursts(
         count=n_clusters,
         n_critical=n_crit,
         n_non_critical=n_clusters - n_crit,
+        overflow=n_components_total > cap,
     )
 
 

@@ -676,9 +676,7 @@ def stream_scan_jump(
     )
 
     i_end = state.block_idx + n_blocks
-    slot_s = jnp.arange(w)
-    k_last = i_end - w + jnp.mod(slot_s - i_end, w)
-    ring = ext[k_last - (state.block_idx - w)].astype(state.ring.dtype)
+    ring = _final_ring(ext, state.block_idx, i_end, w, state.ring.dtype)
 
     new_state = StreamState(
         state=s,
@@ -942,9 +940,7 @@ def stream_scan_jump_batch(
     )
 
     i_end = i0 + n_blocks
-    slot_s = jnp.arange(w)
-    k_last = i_end - w + jnp.mod(slot_s - i_end, w)
-    ring = ext[k_last - (i0 - w)].astype(state.ring.dtype)
+    ring = _final_ring(ext, i0, i_end, w, state.ring.dtype)
 
     new_state = StreamState(
         state=s,
@@ -1040,19 +1036,26 @@ def stream_process(
     block = int(round(cfg.proc_block_sec * fs))
     n_blocks = samples.shape[-1] // block
     if n_blocks == 0:
-        # keep the diagnostics contract: length-0 per-block series
+        # keep the diagnostics contract: length-0 per-block series with the
+        # SAME key schema the resolved front/impl produces on non-empty
+        # chunks (bins carries no psd waterfall; hop adds thr_degraded) —
+        # per-chunk diag accumulation must never see a schema change at an
+        # empty chunk
         dtype = jnp.float32
         z = jnp.zeros(0, dtype)
-        freqs = welch_freqs(fs, cfg.n_fft)
         diags = {
             "over_noise": z,
             "threshold": z,
             "ms_db": z,
             "noise1_db": z,
             "noise2_db": z,
-            "psd_db": jnp.zeros((0, len(freqs)), dtype),
-            "freqs": freqs,
         }
+        if front == "welch":
+            freqs = welch_freqs(fs, cfg.n_fft)
+            diags["psd_db"] = jnp.zeros((0, len(freqs)), dtype)
+            diags["freqs"] = freqs
+        if impl == "hop":
+            diags["thr_degraded"] = jnp.zeros((), bool)
         return state, _empty_events(scfg.cap, dtype), diags
 
     if front == "bins":
@@ -1081,6 +1084,18 @@ def stream_process(
         **extra_diags, **front_diags,
     }
     return state, events, diags
+
+
+def _final_ring(ext: jnp.ndarray, i0, i_end, w: int, dtype) -> jnp.ndarray:
+    """Reconstruct the carry ring after a chunk: slot s holds the value at
+    the largest written block k with k ≡ s (mod w) — one gather over the
+    extended series ``ext`` (the chunk's over_noise prefixed by the
+    incoming ring, so index 0 is absolute block ``i0 - w``).  All four
+    streaming solvers share this helper: the slot arithmetic is subtle and
+    must stay identical for the chunked==unchunked carry contract."""
+    s = jnp.arange(w)
+    k_last = i_end - w + jnp.mod(s - i_end, w)
+    return ext[k_last - (i0 - w)].astype(dtype)
 
 
 def stream_scan(
@@ -1197,12 +1212,8 @@ def stream_scan(
         (emit, e_start, e_stop, e_dur, e_min, e_max, e_mean, e_std),
     )
 
-    # final ring: slot s holds the value at the largest written block k with
-    # k ≡ s (mod w) — one gather over the extended series
     i_end = state.block_idx + n_blocks
-    s = jnp.arange(w)
-    k_last = i_end - w + jnp.mod(s - i_end, w)
-    ring = ext[k_last - (state.block_idx - w)].astype(state.ring.dtype)
+    ring = _final_ring(ext, state.block_idx, i_end, w, state.ring.dtype)
 
     (st_state, locked, luntil, tstart, tsblk, trc, trs, trss, trmn, trmx,
      isum, icnt, pinit, i_final) = carry
@@ -1364,13 +1375,9 @@ def stream_scan_fused_batch(
     events = jax.vmap(lambda *o: _compact_scan_outs(scfg, n_blocks, o))(*outs_c)
 
     i_end = state.block_idx + n_blocks
-    s = jnp.arange(w)
-
-    def ring_of(ext_row, i0, ie):
-        k_last = ie - w + jnp.mod(s - ie, w)
-        return ext_row[k_last - (i0 - w)]
-
-    ring = jax.vmap(ring_of)(ext, state.block_idx, i_end).astype(state.ring.dtype)
+    ring = jax.vmap(
+        lambda ext_row, i0, ie: _final_ring(ext_row, i0, ie, w, state.ring.dtype)
+    )(ext, state.block_idx, i_end)
 
     new_state = StreamState(
         state=ci1[0], block_idx=i_end, ring=ring,

@@ -76,6 +76,19 @@ def fir_filter(x: jnp.ndarray, taps: np.ndarray, mode: str = "same") -> jnp.ndar
     return _conv1d(x, taps, stride=1, pad=pad, lhs_dilation=1)
 
 
+def _reversed_tap_matrix(taps: np.ndarray, q: int, a_cols: int) -> np.ndarray:
+    """(q, a_cols) reversed-tap polyphase matrix (convolution order) — the
+    single source of truth for the tap split, shared by the decimator plan
+    and the DDC bank tables (a change to centering or tap order must land
+    in both consumers at once)."""
+    t = len(taps)
+    rev = np.asarray(taps, np.float64)[::-1]
+    h = np.zeros((q, a_cols), np.float64)
+    for tap in range(t):
+        h[tap % q, tap // q] = rev[tap]
+    return h
+
+
 def _polyphase_plan(n: int, taps: np.ndarray, q: int):
     """Shared framing math for the MXU polyphase formulation: output length,
     the (q, A) tap matrix, and the padded frame count.  The tap order is
@@ -91,10 +104,7 @@ def _polyphase_plan(n: int, taps: np.ndarray, q: int):
     pl, pr = (t - 1) // 2, t - 1 - (t - 1) // 2
     n_out = (n + pl + pr - t) // q + 1  # == conv output length
     a_cols = -(-t // q)
-    rev = np.asarray(taps, np.float64)[::-1]
-    h = np.zeros((q, a_cols), np.float64)
-    for tap in range(t):
-        h[tap % q, tap // q] = rev[tap]
+    h = _reversed_tap_matrix(taps, q, a_cols)
     m = n_out + a_cols - 1
     return pl, n_out, a_cols, h, m
 
@@ -190,11 +200,7 @@ def _bank_tables(
     by angle addition, and the (C, m) output-rate row phases.  Row phases are
     exact integer arithmetic mod fs for frame row ri at padded offset
     ``ri·q − pl``."""
-    t = len(taps)
-    rev = np.asarray(taps, np.float64)[::-1]
-    hp = np.zeros((q, a_cols), np.float64)
-    for tap in range(t):
-        hp[tap % q, tap // q] = rev[tap]
+    hp = _reversed_tap_matrix(taps, q, a_cols)
 
     c_n = len(freqs)
     hh = np.zeros((q, 2, c_n, a_cols), np.float64)

@@ -192,7 +192,10 @@ def _kernel(
     m = (cs - _flat_shift(cs, window, jnp.float32(0))) / safe
     m2 = (cs2 - _flat_shift(cs2, window, jnp.float32(0))) / safe
     std = jnp.sqrt(jnp.maximum(m2 - m * m, 0.0))
-    windowed = jnp.where(cnt > 0, m + k_std * std, jnp.nan)
+    # cnt==0 only at absolute block 0: the sequential scan computes 0+k*0
+    # = 0 there (empty-window stats), reachable when fixed_blocks == 0 —
+    # keep bit-equality with the XLA solvers (models/adaptive.py)
+    windowed = jnp.where(cnt > 0, m + k_std * std, 0.0)
 
     new_freeze = jnp.maximum(iabs + freeze_after, jnp.maximum(0, iabs - freeze_before))
     in_fixed = iabs < fixed_blocks

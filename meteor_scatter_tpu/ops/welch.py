@@ -48,9 +48,13 @@ def welch_psd(
     Matches ``scipy.signal.welch(x, fs, nperseg=nperseg, noverlap=noverlap,
     nfft=nfft)`` with a periodic Hann window to f32 accuracy.
     """
-    if noverlap is None:
-        noverlap = nperseg // 2
     nperseg = min(nperseg, x.shape[-1])  # scipy clamps when input is short
+    if noverlap is None:
+        # derived AFTER the clamp, as scipy does — deriving first leaves
+        # hop <= 0 for short inputs (division by zero / empty framing)
+        noverlap = nperseg // 2
+    elif noverlap >= nperseg:
+        raise ValueError("noverlap must be less than nperseg")
     if nfft < nperseg:
         raise ValueError("nfft must be >= nperseg")
     hop = nperseg - noverlap

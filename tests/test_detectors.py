@@ -107,6 +107,22 @@ class TestFixedDetector:
         assert (int(ev.start[0]), int(ev.stop[0])) == (s, e) == (45, 49)
         np.testing.assert_allclose(float(ev.db_mean[0]), m)
 
+    def test_open_run_at_end_under_overflow_keeps_survivors_intact(self):
+        """When the buffer overflowed, the run touching the end was dropped
+        by events_from_mask — the end-of-series patch must not rewrite the
+        last SURVIVING event's stop/mean (round-5 review finding)."""
+        d = np.zeros(100)
+        for s in range(0, 90, 10):  # 9 closed runs of 3 blocks
+            d[s : s + 3] = 100.0
+        d[97:] = 100.0  # 10th run reaches the end
+        ev, _ = detect_fixed(jnp.asarray(d), 1.0, cap=4)
+        assert bool(ev.overflow)
+        assert int(ev.count) == 4
+        # the surviving events are the first four closed runs, untouched
+        for k in range(4):
+            assert (int(ev.start[k]), int(ev.stop[k])) == (10 * k, 10 * k + 3)
+            np.testing.assert_allclose(float(ev.db_mean[k]), 100.0)
+
     def test_open_run_at_start(self):
         d = np.zeros(50)
         d[:4] = 100.0
@@ -162,6 +178,35 @@ class TestAdaptiveDetector:
         thr_fast, above_fast = adaptive_thresholds_fast(jnp.asarray(d), **kw)
         np.testing.assert_allclose(np.asarray(thr_fast), np.asarray(thr_scan), rtol=1e-9)
         np.testing.assert_array_equal(np.asarray(above_fast), np.asarray(above_scan))
+
+    def test_zero_fixed_blocks_solvers_agree(self):
+        """fixed_threshold_blocks=0 makes block 0 use the (empty-window)
+        windowed threshold, which the sequential scan evaluates as 0 — the
+        restructured solvers returned NaN there, silently suppressing a
+        block-0 detection (round-5 review finding)."""
+        from meteor_scatter_tpu.models.adaptive import (
+            adaptive_thresholds_fast,
+            adaptive_thresholds_parallel,
+        )
+
+        d = burst_series(n=1500, seed=41)
+        d[0] = abs(d[0]) + 5.0  # block 0 above the zero threshold
+        kw = dict(
+            threshold_std_factor=4.0,
+            window_blocks=300,
+            freeze_blocks_before=15,
+            freeze_blocks_after=100,
+            fixed_threshold_blocks=0,
+        )
+        thr_scan, above_scan, _ = adaptive_thresholds(jnp.asarray(d), **kw)
+        assert bool(above_scan[0])  # the sequential semantics fire at 0
+        for fn in (adaptive_thresholds_fast, adaptive_thresholds_parallel):
+            thr, above = fn(jnp.asarray(d), **kw)
+            assert np.isfinite(np.asarray(thr)).all()
+            np.testing.assert_array_equal(np.asarray(above), np.asarray(above_scan))
+            np.testing.assert_allclose(
+                np.asarray(thr), np.asarray(thr_scan), rtol=1e-9
+            )
 
     @pytest.mark.parametrize("seed,k", [(13, 4.0), (17, 4.0), (23, 3.0), (29, 2.0), (31, 1.5)])
     def test_parallel_fixpoint_equals_scan(self, seed, k):

@@ -90,6 +90,20 @@ class TestClusterBursts:
         # merged bbox spans both -> critical
         assert int(bursts.n_critical) == 1
 
+    def test_cap_overflow_flagged(self):
+        """More clusters than the cap must set the overflow flag (counts
+        become lower bounds) instead of silently undercounting; within
+        capacity the flag stays clear (fixed-capacity buffer convention)."""
+        x = segment_with_bursts(
+            [(2.0 + 3.0 * k, 0.4, 900.0 + 40.0 * k, 6.0) for k in range(8)]
+        )
+        img, _ = detect_and_cluster_bursts(jnp.asarray(x), FS)
+        full = cluster_bursts(img, min_samples=1)
+        assert int(full.count) >= 5 and not bool(full.overflow)
+        small = cluster_bursts(img, min_samples=1, cap=2)
+        assert bool(small.overflow)
+        assert int(small.count) <= 2
+
     def test_min_samples_rejects_specks(self):
         x = segment_with_bursts([(15.0, 0.8, 1000.0, 3.0)], seed=5)
         img = spectrogram_image(jnp.asarray(x), FS)

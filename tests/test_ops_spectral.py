@@ -142,6 +142,26 @@ class TestWelch:
         got = np.asarray(welch_psd(jnp.asarray(x), fs, nfft, nperseg=nperseg))
         np.testing.assert_allclose(got, p_ref, rtol=2e-4, atol=1e-12)
 
+    @pytest.mark.parametrize("n", [128, 100, 255])
+    def test_short_input_clamps_like_scipy(self, n):
+        """Inputs shorter than the default nperseg=256 must clamp nperseg
+        AND re-derive the default noverlap after the clamp, as scipy does —
+        deriving noverlap first left hop <= 0 (ZeroDivisionError / empty
+        framing, round-5 review finding)."""
+        fs, nfft = 4000.0, 1024
+        x = make_audio(fs, n / fs, tone=900.0)[:n]
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # scipy warns about the clamp
+            _, p_ref = scipy.signal.welch(x, fs, nfft=nfft)
+        got = np.asarray(welch_psd(jnp.asarray(x), fs, nfft))
+        np.testing.assert_allclose(got, p_ref, rtol=2e-4, atol=1e-12)
+
+    def test_noverlap_ge_nperseg_raises(self):
+        with pytest.raises(ValueError):
+            welch_psd(jnp.zeros(1000), 4000.0, 1024, nperseg=256, noverlap=256)
+
     def test_band_sum_matches_reference_masking(self):
         # processor.py:349-358: sum PSD over inclusive band, 10*log10
         fs, nfft = 4000.0, 4096

@@ -89,6 +89,38 @@ class TestShardedAdaptive:
             # rolling stats → expect equality everywhere on this data
             np.testing.assert_array_equal(np.asarray(above_s[c]), np.asarray(above_u))
 
+    def test_shard0_exact_with_negative_fixed_threshold(self, mesh):
+        """A channel whose fixed threshold is negative (signal band below
+        the noise bands → delta mostly negative) must still match the
+        unsharded scan on shard 0: the warm-up replay runs over shard 0's
+        zero-filled halo, and 0 > fixed_thr would register phantom
+        detections there, freezing real early blocks the unsharded scan
+        thresholds normally (round-5 review finding)."""
+        rng = np.random.default_rng(9)
+        # delta series centered well below zero: g_mean + k*g_std < 0
+        d_np = (rng.standard_normal((2, 4 * 60)) * 0.5 - 8.0).astype(np.float32)
+        d = jnp.asarray(d_np)
+        kw = dict(
+            threshold_std_factor=4.0,
+            window_blocks=25,
+            freeze_blocks_before=3,
+            freeze_blocks_after=40,  # > fixed_threshold_blocks: phantom
+            fixed_threshold_blocks=10,  # freezes would reach real blocks
+        )
+        thr_s, above_s = sharded_detect_adaptive(d, mesh, **kw)
+        b_loc = d_np.shape[1] // 4
+        for c in range(2):
+            assert d_np[c].mean() + 4.0 * d_np[c].std() < 0  # the trigger
+            thr_u, above_u, _ = adaptive_thresholds(jnp.asarray(d_np[c]), **kw)
+            # rtol 2e-5: the sharded global stats (psum of shard sums) and
+            # jnp.mean differ in f32 reduction order on the fixed threshold
+            np.testing.assert_allclose(
+                np.asarray(thr_s[c, :b_loc]), np.asarray(thr_u[:b_loc]), rtol=2e-5
+            )
+            np.testing.assert_array_equal(
+                np.asarray(above_s[c, :b_loc]), np.asarray(above_u[:b_loc])
+            )
+
     def test_full_reference_window_single_time_shard(self):
         # station-only mesh: 8 channels, no time sharding — always exact
         mesh = make_mesh(n_station=8, n_time=1)

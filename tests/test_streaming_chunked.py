@@ -52,6 +52,27 @@ def test_chunk_size_invariance():
     assert big == small == tiny
 
 
+def test_empty_chunk_diag_schema_matches_front_and_impl():
+    """An empty chunk (shorter than one block) must return diagnostics with
+    the SAME key schema the resolved front/impl produces on real chunks —
+    the old path always returned welch-shaped diags (psd_db/freqs present,
+    thr_degraded absent), breaking per-chunk diag accumulation for bins
+    fronts and the hop solver (round-5 review finding)."""
+    fs = 4000
+    cfg = DetectionConfig(signal_freq=1000)
+    x = make_audio(fs, dur=10.0)
+    for front, impl in [("welch", "scan"), ("bins", "hop"), ("bins", "fused"),
+                        ("bins", "jump")]:
+        state = stream_init(StreamConfig.from_config(cfg))
+        state, _, d_full = stream_process(cfg, state, jnp.asarray(x), fs,
+                                          front=front, impl=impl)
+        state, _, d_empty = stream_process(
+            cfg, state, jnp.asarray(x[:10]), fs, front=front, impl=impl
+        )
+        assert set(d_empty) == set(d_full), (front, impl)
+        assert d_empty["over_noise"].shape == (0,)
+
+
 class TestProcessMatchesStepScan:
     """The restructured stream_process (hoisted rolling stats, output-based
     event emission) must equal a plain scan of stream_step — the oracle-
