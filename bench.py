@@ -44,6 +44,9 @@ BASELINE_SECONDS = 60.0  # numpy baseline slice (extrapolated)
 # peak 819 GB/s; 850e9 adds slack).  Values above it are flagged in the
 # artifact's `implausible` list — recorded for the log, never publishable.
 HBM_BYTES_PER_SEC = 850e9
+# mirrored by tools/readme_perf.py::METRIC_SPECS — the two tables are
+# pinned equal by tests/test_docs_perf.py::
+# test_bench_and_readme_perf_roofline_tables_agree; add new metrics to BOTH
 METRIC_BYTES_PER_SAMPLE = {
     "value": 4.0,
     "multi8_samples_per_sec": 4.0,
@@ -359,7 +362,11 @@ def stations_pipeline(
     )
     scfg = StreamConfig.from_config(cfg)
     rng = np.random.default_rng(7)
-    n = int(fs * seconds)
+    # truncate to whole blocks like models/streaming.py::_blocked — an
+    # off-grid seconds must not crash the pre-blocked reshape
+    n = int(fs * seconds) // int(round(cfg.proc_block_sec * fs)) * int(
+        round(cfg.proc_block_sec * fs)
+    )
     x_np = rng.standard_normal((n_stations, n)).astype(np.float32) * 0.3
     t = np.arange(n) / fs
     for c in range(n_stations):

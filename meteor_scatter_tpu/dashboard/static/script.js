@@ -68,7 +68,14 @@
     } else if (chartUrls[slide.key]) {
       img.src = chartUrls[slide.key];
     } else {
-      loadChart(slide.key, function (url) { img.src = url; });
+      loadChart(slide.key, function (url) {
+        /* a slow fetch must not overwrite a slide the user has since
+           navigated to — same stale-response guard as refreshAll */
+        var cur = SLIDES[slideIndex];
+        if (cur.kind === "chart" && cur.key === slide.key) {
+          img.src = url;
+        }
+      });
     }
     label.textContent = slide.label;
     markDot(slideIndex);

@@ -15,6 +15,7 @@ loudly rather than silently skipping.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -658,13 +659,36 @@ class Interpreter:
     # -- statements -------------------------------------------------------------
 
     def _hoist(self, block, env):
-        for st in block[1]:
-            if st[0] == "funcdecl":
+        """Function-scope hoisting per ES5: ``var`` and function
+        declarations reach function scope regardless of block nesting
+        (stopping at nested function boundaries) — scanning only the top
+        level left vars inside untaken if/for branches undeclared
+        (NameError where JS reads undefined)."""
+
+        def walk(st):
+            kind = st[0]
+            if kind == "funcdecl":
                 env.declare(st[1], JSFunction(st[1], st[2], st[3], env))
-            elif st[0] == "var":
+            elif kind == "var":
                 for name, _ in st[1]:
                     if name not in env.vars:
                         env.declare(name, UNDEF)
+            elif kind == "if":
+                walk(st[2])
+                if st[3]:
+                    walk(st[3])
+            elif kind == "block":
+                for s in st[1]:
+                    walk(s)
+            elif kind == "for":
+                if st[1]:
+                    walk(st[1])
+                walk(st[4])
+            elif kind == "while":
+                walk(st[2])
+
+        for st in block[1]:
+            walk(st)
 
     def exec_block(self, block, env, this):
         self._hoist(block, env)
@@ -677,7 +701,12 @@ class Interpreter:
             self.eval(st[1], env, this)
         elif kind == "var":
             for name, init in st[1]:
-                env.declare(name, self.eval(init, env, this) if init else UNDEF)
+                if init:
+                    env.declare(name, self.eval(init, env, this))
+                elif name not in env.vars:
+                    # a bare `var x` after an assignment keeps the value in
+                    # JS — re-declaring would reset it to undefined
+                    env.declare(name, UNDEF)
         elif kind == "funcdecl":
             env.declare(st[1], JSFunction(st[1], st[2], st[3], env))
         elif kind == "return":
@@ -971,11 +1000,16 @@ class Interpreter:
         if op == "/":
             return a / b
         if op == "%":
-            return a % b
+            # JS % is TRUNCATED remainder (sign of the dividend); Python's
+            # is floored — (-1) % 6 is -1 in every browser but 5 here, the
+            # silent-divergence class this module promises to exclude
+            if b == 0:
+                return float("nan")
+            return a - b * math.trunc(a / b)
         if op in ("==", "==="):
-            return self._strict_eq(a, b) if op == "===" else a == b
+            return self._strict_eq(a, b) if op == "===" else self._loose_eq(a, b)
         if op in ("!=", "!=="):
-            return not (self._strict_eq(a, b) if op == "!==" else a == b)
+            return not (self._strict_eq(a, b) if op == "!==" else self._loose_eq(a, b))
         if op == "<":
             return a < b
         if op == ">":
@@ -985,6 +1019,38 @@ class Interpreter:
         if op == ">=":
             return a >= b
         raise RuntimeError(f"jsmini: unknown operator {op}")
+
+    def _loose_eq(self, a, b):
+        """ES5 abstract equality (11.9.3) over the supported value subset —
+        Python's ``==`` has neither the null==undefined rule nor the
+        number/string coercion ('1' == 1 is true in JS)."""
+        if type(a) is bool:
+            return self._loose_eq(1 if a else 0, b)
+        if type(b) is bool:
+            return self._loose_eq(a, 1 if b else 0)
+        a_nullish = a is UNDEF or a is None
+        b_nullish = b is UNDEF or b is None
+        if a_nullish or b_nullish:
+            return a_nullish and b_nullish
+        if isinstance(a, (int, float)) and isinstance(b, str):
+            return self._loose_eq(a, self._str_to_num(b))
+        if isinstance(a, str) and isinstance(b, (int, float)):
+            return self._loose_eq(self._str_to_num(a), b)
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return a == b and not (a != a or b != b)  # NaN != NaN
+        if isinstance(a, str) and isinstance(b, str):
+            return a == b
+        return a is b
+
+    @staticmethod
+    def _str_to_num(s: str) -> float:
+        s = s.strip()
+        if s == "":
+            return 0.0
+        try:
+            return float(s)
+        except ValueError:
+            return float("nan")
 
     @staticmethod
     def _strict_eq(a, b):

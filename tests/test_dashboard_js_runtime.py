@@ -271,3 +271,39 @@ class TestFrontendRuntime:
         assert src0.split("?t=")[0] == src1.split("?t=")[0]
         assert src0 != src1  # new cache-bust timestamp
         assert browser.errors() == []
+
+
+class TestJsminiSemantics:
+    """The interpreter must match JS where Python silently differs —
+    divergences here are false-passes for the dashboard runtime tests
+    (round-5 review findings)."""
+
+    @staticmethod
+    def _eval(expr):
+        it = Interpreter()
+        it.run("var __r = (%s);" % expr)
+        return it.globals.vars["__r"]
+
+    def test_truncated_modulo(self):
+        # JS % takes the dividend's sign; Python's is floored
+        assert self._eval("(-1) % 6") == -1
+        assert self._eval("5 % 3") == 2
+        assert self._eval("(-7) % 3") == -1
+
+    def test_loose_equality_coercion(self):
+        assert self._eval("'1' == 1") is True
+        assert self._eval("'1' === 1") is False
+        assert self._eval("null == undefined") is True
+        assert self._eval("null === undefined") is False
+        assert self._eval("0 == ''") is True
+        assert self._eval("'a' == 0") is False
+
+    def test_var_hoisting_from_nested_blocks(self):
+        # ES5 hoists var to function scope regardless of block nesting: an
+        # untaken branch's var reads as undefined, not a NameError
+        assert self._eval(
+            "(function(){ if (false) { var cached = 1; } "
+            "return cached === undefined; })()"
+        ) is True
+        # a bare `var x` after an assignment keeps the assigned value
+        assert self._eval("(function(){ x = 5; var x; return x; })()") == 5

@@ -93,14 +93,27 @@ def run_mesh(n_devices: int, seconds_per_device: float, window_blocks: int,
         return above.sum()
 
     xj = jnp.asarray(x)
-    np.asarray(step(xj))  # compile + warm
+
+    # chain the k iterations INSIDE one jit via fori_loop with a carry-
+    # derived data dependency (CLAUDE.md: host-level call chaining measures
+    # per-call tunnel dispatch, not device time).  The dependency threads
+    # through the input (x + eps) because this pipeline exposes no small
+    # side table; the residual re-materialization term is constant per
+    # device, so it cancels in the weak-scaling efficiency ratio this tool
+    # publishes.
+    @jax.jit
+    def runk(xin, k):
+        def body(_, carry):
+            eps = jnp.where(jnp.isnan(carry), 1.0, 0.0).astype(xin.dtype)
+            return step(xin + eps).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    np.asarray(runk(xj, 1))  # compile + warm
 
     def chained(k):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = step(xj)
-        np.asarray(out)
+        np.asarray(runk(xj, k))
         return time.perf_counter() - t0
 
     t1 = min(chained(1) for _ in range(reps))
@@ -161,14 +174,20 @@ def run_mesh_stations(
         )
         return ev.count.sum()
 
-    np.asarray(step(xb))  # compile + warm
+    # in-graph fori_loop chain (see run_mesh for the methodology note)
+    @jax.jit
+    def runk(xin, k):
+        def body(_, carry):
+            eps = jnp.where(jnp.isnan(carry), 1.0, 0.0).astype(xin.dtype)
+            return step(xin + eps).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    np.asarray(runk(xb, 1))  # compile + warm
 
     def chained(k):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = step(xb)
-        np.asarray(out)
+        np.asarray(runk(xb, k))
         return time.perf_counter() - t0
 
     t1 = min(chained(1) for _ in range(reps))

@@ -76,7 +76,10 @@ def main(argv=None) -> int:
 
     # identical workload to bench.stations_pipeline
     rng = np.random.default_rng(7)
-    n = int(fs * args.seconds)
+    blk0 = int(round(cfg.proc_block_sec * fs))
+    # truncate to whole blocks like models/streaming.py::_blocked — an
+    # off-grid --seconds must not crash the pre-blocked reshape
+    n = int(fs * args.seconds) // blk0 * blk0
     x_np = rng.standard_normal((args.stations, n)).astype(np.float32) * 0.3
     t = np.arange(n) / fs
     for c in range(args.stations):

@@ -117,6 +117,7 @@ def main(argv=None) -> int:
     durations_at_min = 0
     total_events = 0
     e2e_mismatches = 0
+    solver_mismatches = 0
 
     for f in range(args.fixtures):
         x = jnp.asarray(synth(fs, args.seconds, seed=1000 + f))
@@ -153,8 +154,10 @@ def main(argv=None) -> int:
             if co == c:
                 mo = np.asarray(ev_o.db_mean)[:co]
                 hmean_deltas.extend(np.abs(mo - means).tolist())
-            else:  # a flip happened — record it loudly
-                e2e_mismatches += 1
+            else:  # a flip happened — record it loudly, as a SOLVER
+                # mismatch (same welch series, different solver), not as a
+                # front-comparison flip
+                solver_mismatches += 1
 
         # end-to-end: default path vs fast path
         st_f, ev_f, _ = run_hop(jnp.asarray(on_b), pm)
@@ -172,20 +175,25 @@ def main(argv=None) -> int:
     def q(a, p):
         return float(np.percentile(a, p)) if len(a) else float("nan")
 
+    def mn(a):  # min that survives a zero-event run
+        return float(a.min()) if len(a) else float("nan")
+
     print(f"fixtures={args.fixtures} x {args.seconds:.0f}s  "
           f"events={total_events}  backend={jax.default_backend()}")
     print(f"front delta |on_bins - on_welch|: max {front_deltas.max():.3e} dB, "
           f"median {np.median(front_deltas):.3e} dB")
-    print(f"crossing-block margin |on - thr|: min {crossing_margins.min():.3e} dB, "
+    print(f"crossing-block margin |on - thr|: min {mn(crossing_margins):.3e} dB, "
           f"p5 {q(crossing_margins, 5):.3e}, median {q(crossing_margins, 50):.3e}")
     print(f"accept margin |h_mean - {scfg.min_mean_db}|: "
-          f"min {accept_margins.min():.3e} dB, p5 {q(accept_margins, 5):.3e}, "
+          f"min {mn(accept_margins):.3e} dB, p5 {q(accept_margins, 5):.3e}, "
           f"median {q(accept_margins, 50):.3e}")
     print(f"solver h_mean delta (jump/hop vs scan): max {hmean_deltas.max():.3e} dB")
     print(f"events at exact minimum duration: {durations_at_min}/{total_events}")
+    print(f"solver event-count mismatches (jump/hop vs scan on the SAME "
+          f"welch series): {solver_mismatches}")
     print(f"end-to-end event-list mismatches (welch:scan vs bins:hop, "
           f"boundary tol 1 block): {e2e_mismatches}")
-    ratio = accept_margins.min() / max(hmean_deltas.max(), 1e-12)
+    ratio = mn(accept_margins) / max(hmean_deltas.max(), 1e-12)
     print(f"accept-margin floor / h_mean-delta ceiling: {ratio:,.0f}x")
     return 0
 
